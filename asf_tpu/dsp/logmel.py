@@ -1,0 +1,151 @@
+"""On-device log-mel front end (JAX/XLA, MXU-friendly).
+
+TPU-first redesign of the reference's host-side librosa pipeline
+(/root/reference/audio_slowfast/datasets/audio_loader_epic.py:66-97):
+the reference spends its input pipeline in Python DataLoader workers doing
+librosa FFTs on CPU; here the whole chain
+
+    waveform -> framing -> windowed real-DFT -> |.| -> mel GEMM -> log -> pad
+
+runs inside the jitted step as two large GEMMs (windowed-DFT and mel
+projection), so it fuses with the model and maps onto the MXU
+(GEMM-spectrogram approach; cf. nnAudio, arXiv:1912.12055).
+
+Numerical parity with librosa is golden-tested against
+``asf_tpu.dsp.reference`` to <1e-4 relative.
+
+Static-shape design notes:
+  * Input waveforms are fixed-length ``clip_samples`` arrays (hosts pad
+    short records with zeros — identical to librosa's ``pad_mode="constant"``
+    zero padding, see reference.py docstring).
+  * Per-record "edge-pad spectrogram to NUM_FRAMES"
+    (audio_loader_epic.py:151-154) becomes a clamped gather on the time axis
+    with a per-sample valid-frame count, which is exactly edge padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import dft_matrices, mel_filterbank
+from .reference import stft_params
+
+
+def num_frames_for(n_samples: int, hop: int) -> int:
+    """librosa frame count for a centred STFT: 1 + n_samples // hop."""
+    return 1 + n_samples // hop
+
+
+class LogMelParams:
+    """Precomputed constants of the front end (host numpy; baked into jit)."""
+
+    def __init__(self, cfg):
+        self.sr = cfg.AUDIO_DATA.SAMPLING_RATE
+        self.n_fft = cfg.AUDIO_DATA.N_FFT
+        self.n_mels = cfg.AUDIO_DATA.NUM_FREQUENCIES
+        self.num_frames = cfg.AUDIO_DATA.NUM_FRAMES
+        self.win, self.hop = stft_params(cfg)
+        # Reference slices [start, start + clip_size - 1) -> clip_size-1 samples
+        # (datasets/utils.py:12-40 end_idx = start + clip_size - 1).
+        self.clip_size = int(round(self.sr * cfg.AUDIO_DATA.CLIP_SECS))
+        self.clip_samples = self.clip_size - 1
+
+        w_cos, w_sin = dft_matrices(self.n_fft, self.win)
+        # One GEMM computes both real and imaginary parts: [n_fft, 2*n_freqs].
+        self.dft_w = np.concatenate([w_cos, w_sin], axis=1)
+        self.mel_w = mel_filterbank(self.sr, self.n_fft, self.n_mels).T  # (n_freqs, n_mels)
+        self.n_freqs = 1 + self.n_fft // 2
+
+        precision = getattr(cfg, "TPU", None)
+        self.precision = (
+            getattr(jax.lax.Precision, cfg.TPU.DSP_PRECISION, jax.lax.Precision.HIGHEST)
+            if precision is not None
+            else jax.lax.Precision.HIGHEST
+        )
+
+
+def _windowed_dft(
+    wave: jnp.ndarray, dft_w: jnp.ndarray, n_fft: int, hop: int, precision
+) -> jnp.ndarray:
+    """(B, S) -> (B, n_frames, 2*n_freqs) windowed real-DFT coefficients.
+
+    Framing + windowed DFT expressed as ONE strided 1-D convolution whose
+    2*n_freqs filters are the window-scaled cos/sin basis rows — the implicit
+    GEMM form (cf. nnAudio, arXiv:1912.12055). No frame tensor is ever
+    materialised; XLA maps it straight onto the MXU.
+    """
+    pad = n_fft // 2
+    padded = jnp.pad(wave, ((0, 0), (pad, pad)))
+    # lhs (B, C=1, S); rhs (O=2*n_freqs, I=1, K=n_fft)
+    rhs = jnp.transpose(dft_w)[:, None, :]
+    out = jax.lax.conv_general_dilated(
+        padded[:, None, :],
+        rhs,
+        window_strides=(hop,),
+        padding="VALID",
+        precision=precision,
+    )  # (B, 2*n_freqs, T)
+    n_frames = 1 + wave.shape[1] // hop
+    return jnp.transpose(out[:, :, :n_frames], (0, 2, 1))
+
+
+def log_mel_spectrogram(
+    wave: jnp.ndarray,
+    params: LogMelParams,
+    n_valid_samples: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+    out_frames: Optional[int] = None,
+) -> jnp.ndarray:
+    """Batched waveform -> log-mel spectrogram.
+
+    Args:
+      wave: (B, S) float32 waveform (fixed S; short records zero-padded).
+      params: precomputed constants.
+      n_valid_samples: optional (B,) int32 — true record length per sample;
+        frames past ``1 + n_valid // hop`` are edge-replicated, matching the
+        reference's np.pad(..., 'edge') to NUM_FRAMES.
+      out_frames: output frame count (defaults to max(NUM_FRAMES, n_frames)).
+
+    Returns:
+      (B, T_out, n_mels) float32.
+    """
+    wave = wave.astype(jnp.float32)
+    spec = _windowed_dft(
+        wave, jnp.asarray(params.dft_w), params.n_fft, params.hop, params.precision
+    )  # (B, T, 2*n_freqs)
+    n_frames = spec.shape[1]
+    re = spec[..., : params.n_freqs]
+    im = spec[..., params.n_freqs :]
+    mag = jnp.sqrt(re * re + im * im)
+
+    mel_w = jnp.asarray(params.mel_w)
+    mel = jnp.einsum("btk,km->btm", mag, mel_w, precision=params.precision)
+    log_mel = jnp.log(mel + eps)  # (B, T, n_mels)
+
+    t_out = out_frames if out_frames is not None else max(params.num_frames, n_frames)
+
+    # Edge-pad / edge-replicate along time via a clamped gather.
+    idx = jnp.arange(t_out)[None, :]  # (1, T_out)
+    if n_valid_samples is not None:
+        valid_frames = 1 + n_valid_samples.astype(jnp.int32) // params.hop  # (B,)
+        limit = jnp.minimum(valid_frames, n_frames)[:, None]  # (B, 1)
+    else:
+        limit = jnp.full((wave.shape[0], 1), n_frames, dtype=jnp.int32)
+    gather_idx = jnp.minimum(idx, limit - 1)  # (B, T_out)
+    return jnp.take_along_axis(log_mel, gather_idx[:, :, None], axis=1)
+
+
+def make_logmel(cfg):
+    """Returns (params, jitted fn(wave, n_valid) -> (B, NUM_FRAMES, n_mels))."""
+    params = LogMelParams(cfg)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(wave, n_valid=None):
+        return log_mel_spectrogram(wave, params, n_valid)
+
+    return params, fn
