@@ -1,0 +1,247 @@
+"""EPIC-KITCHENS datasets (HDF5 audio) — waveform-producing, TPU-first.
+
+Parity targets:
+  * EpicKitchens (/root/reference/audio_slowfast/datasets/epickitchens.py:23-245)
+  * EpicKitchensGRU / WithPDDL / GRUwithPDDL thin registrations
+    (/root/reference/audio_slowfast/datasets/epickitchens_{gru,pddl,gru_pddl}.py)
+  * clip extraction semantics of pack_audio / pack_audio_gru
+    (/root/reference/audio_slowfast/datasets/audio_loader_epic.py:16-156,
+     audio_loader_epic_gru.py:13-64)
+
+TPU-first deltas (behaviour-preserving):
+  * Items carry fixed-length float32 WAVEFORMS (+ per-item valid-sample
+    counts); the log-mel + SpecAugment run on-device inside the jitted step
+    (see asf_tpu/dsp) instead of in DataLoader workers.
+  * HDF5 is read by REGION (h5py slice) instead of the reference's
+    whole-video read per record (audio_loader_epic.py:45 — the known input
+    pipeline hazard); GRU window chains read one covering region and slice
+    windows from it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Type
+
+import numpy as np
+import pandas as pd
+
+from .build import register_dataset
+from .records import (
+    AudioRecord,
+    EpicKitchensAudioRecord,
+    EpicKitchensAudioRecordGRU,
+    EpicKitchensAudioRecordGRUwithPDDL,
+    EpicKitchensAudioRecordWithPDDL,
+)
+from .sampling import get_start_end_idx
+from .transforms import get_transforms
+from asf_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@register_dataset("EpicKitchens")
+class EpicKitchens:
+    def __init__(
+        self,
+        cfg,
+        mode: str,
+        record_type: Type[AudioRecord] = EpicKitchensAudioRecord,
+        gru_format: bool = False,
+        modes: List[str] = ["train", "val", "test", "train+val"],
+    ):
+        assert mode in modes, f"Split '{mode}' not supported for {type(self).__name__}"
+        self.cfg = cfg
+        self.mode = mode
+        self.record_type = record_type
+        self.gru_format = gru_format
+
+        if mode in ["train", "val", "train+val"]:
+            self._num_clips = 1
+        else:
+            self._num_clips = (
+                cfg.TEST.NUM_ENSEMBLE_VIEWS if "GRU" not in cfg.TEST.DATASET else 1
+            )
+
+        self.audio_dataset = None  # opened lazily (fork/thread safety)
+        self.unique_batch = cfg.EPICKITCHENS.SINGLE_BATCH
+        self.transforms = get_transforms()
+        self.clip_size = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS))
+        self.clip_samples = self.clip_size - 1
+        self._rng = np.random.default_rng(cfg.RNG_SEED)
+
+        self._construct_loader()
+
+    # -- record list -------------------------------------------------------
+    def _annotation_files(self) -> List[str]:
+        c = self.cfg.EPICKITCHENS
+        if self.mode == "train":
+            names = [c.PROCESSED_TRAIN_LIST]
+        elif self.mode == "val":
+            names = [c.PROCESSED_VAL_LIST]
+        elif self.mode == "test":
+            names = [c.PROCESSED_TEST_LIST]
+        else:  # train+val
+            names = [c.PROCESSED_TRAIN_LIST, c.PROCESSED_VAL_LIST]
+        return [os.path.join(c.ANNOTATIONS_DIR, n) for n in names]
+
+    def _construct_loader(self):
+        files = self._annotation_files()
+        for f in files:
+            assert os.path.exists(f), f"{f} dir not found"
+        self._audio_records = []
+        self._temporal_idx = []
+        for f in files:
+            df = pd.read_pickle(f)
+            it = df.iterrows() if not self.unique_batch else df[: self.cfg.TRAIN.BATCH_SIZE].iterrows()
+            for tup in it:
+                for idx in range(self._num_clips):
+                    self._audio_records.append(self.record_type(tup, cfg=self.cfg))
+                    self._temporal_idx.append(idx)
+        assert len(self._audio_records) > 0, (
+            f"Failed to load EPIC-KITCHENS split {self.mode} from {files}"
+        )
+        logger.info(
+            "Constructed %s (size %d) from %s", type(self).__name__, len(self._audio_records), files
+        )
+
+    # -- HDF5 access -------------------------------------------------------
+    def _h5(self):
+        if self.audio_dataset is None:
+            import h5py
+
+            self.audio_dataset = h5py.File(self.cfg.EPICKITCHENS.AUDIO_DATA_FILE, "r")
+        return self.audio_dataset
+
+    def _read_region(self, video_id: str, start: int, end: int) -> np.ndarray:
+        """Region read with zero-padding outside the video bounds."""
+        dset = self._h5()[video_id]
+        n = dset.shape[0]
+        a, b = max(0, int(start)), min(n, int(end))
+        out = np.zeros(int(end) - int(start), dtype=np.float32)
+        if b > a:
+            out[a - int(start) : b - int(start)] = dset[a:b]
+        return out
+
+    # -- item assembly -----------------------------------------------------
+    def _clip_for_record(self, record, temporal_sample_index, rng) -> tuple[int, int]:
+        """Start sample + number of valid samples for a regular record,
+        mirroring pack_audio/_extract_sound_feature case logic."""
+        if record.num_audio_samples < self.clip_size:
+            return record.start_audio_sample, record.num_audio_samples
+        start_idx, _ = get_start_end_idx(
+            record.num_audio_samples,
+            self.clip_size,
+            temporal_sample_index,
+            self.cfg.TEST.NUM_ENSEMBLE_VIEWS,
+            start_sample=record.start_audio_sample,
+            rng=rng,
+        )
+        return int(start_idx), self.clip_samples
+
+    def _apply_transform(self, record, wave: np.ndarray, rng) -> np.ndarray:
+        name = record.transformation
+        if name != "none" and name in self.transforms:
+            return np.asarray(
+                self.transforms[name](wave, self.cfg.AUDIO_DATA.SAMPLING_RATE, rng=rng),
+                np.float32,
+            )
+        return wave
+
+    def __getitem__(self, index: int):
+        rng = self._rng
+        if self.gru_format:
+            return self._get_item_gru(index, rng)
+        return self._get_item_regular(index, rng)
+
+    def _get_item_regular(self, index: int, rng):
+        record = self._audio_records[index]
+        tsi = -1 if self.mode in ["train", "val", "train+val"] else self._temporal_idx[index]
+        start, n_valid = self._clip_for_record(record, tsi, rng)
+        wave = np.zeros(self.clip_samples, np.float32)
+        region = self._read_region(record.untrimmed_video_name, start, start + n_valid)
+        wave[: len(region)] = self._apply_transform(record, region, rng)[: self.clip_samples]
+        return {
+            "waveform": wave,
+            "n_valid": np.int32(n_valid),
+            "label": record.label,
+            "index": index,
+            "metadata": record.metadata,
+        }
+
+    def _get_item_gru(self, index: int, rng):
+        record = self._audio_records[index]
+        sr = self.cfg.AUDIO_DATA.SAMPLING_RATE
+        n_windows = min(record.num_spectrograms, self.cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS)
+
+        # One covering region read; windows are slices of it.
+        # Window i starts at record.start + i * sr (pack_audio_gru:47 — the
+        # reference advances windows by 1 s per index, NOT by clip - overlap).
+        seg_start = record.start_audio_sample
+        if record.num_audio_samples < self.clip_size:
+            region_end = record.end_audio_sample
+        else:
+            region_end = seg_start + (n_windows - 1) * sr + self.clip_size
+        region = self._read_region(record.untrimmed_video_name, seg_start, region_end)
+
+        waves = np.zeros((n_windows, self.clip_samples), np.float32)
+        n_valid = np.zeros((n_windows,), np.int32)
+        for i in range(n_windows):
+            if record.num_audio_samples < self.clip_size:
+                # whole (short) segment for every window (case 1)
+                chunk = region[: record.num_audio_samples]
+            else:
+                off = i * sr
+                chunk = region[off : off + self.clip_samples]
+            chunk = self._apply_transform(record, chunk, rng)[: self.clip_samples]
+            waves[i, : len(chunk)] = chunk
+            n_valid[i] = len(chunk)
+
+        item = {
+            "waveform": waves,
+            "n_valid": n_valid,
+            "length": np.int32(n_windows),
+            "label": record.label,
+            "index": index,
+            "metadata": record.metadata,
+        }
+        if isinstance(record, EpicKitchensAudioRecordGRU):
+            emb = record.noun_embedding
+            item["noun_embedding"] = (
+                emb.astype(np.float32) if emb.size else np.zeros(512, np.float32)
+            )
+        return item
+
+    def __len__(self):
+        return len(self._audio_records)
+
+
+@register_dataset("EpicKitchensGRU")
+class EpicKitchensGRU(EpicKitchens):
+    """Parity: datasets/epickitchens_gru.py:8-20."""
+
+    def __init__(self, cfg, mode):
+        super().__init__(
+            cfg, mode, record_type=EpicKitchensAudioRecordGRU, gru_format=True
+        )
+
+
+@register_dataset("EpicKitchensWithPDDL")
+class EpicKitchensWithPDDL(EpicKitchens):
+    """Parity: datasets/epickitchens_pddl.py:10-22."""
+
+    def __init__(self, cfg, mode):
+        super().__init__(
+            cfg, mode, record_type=EpicKitchensAudioRecordWithPDDL, gru_format=False
+        )
+
+
+@register_dataset("EpicKitchensGRUwithPDDL")
+class EpicKitchensGRUwithPDDL(EpicKitchens):
+    """Parity: datasets/epickitchens_gru_pddl.py:10-22."""
+
+    def __init__(self, cfg, mode):
+        super().__init__(
+            cfg, mode, record_type=EpicKitchensAudioRecordGRUwithPDDL, gru_format=True
+        )

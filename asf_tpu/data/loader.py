@@ -1,0 +1,228 @@
+"""Batch loader: threaded item fetch, static-shape collation, device prefetch.
+
+Replaces the reference's torch DataLoader stack
+(/root/reference/audio_slowfast/datasets/loader.py:66-134). Design for TPU:
+
+  * Worker THREADS instead of processes: item work is h5py/numpy (GIL-
+    releasing); the heavy DSP moved on-device, so processes buy nothing.
+  * Static shapes: GRU window chains are padded to bucketed window counts
+    (powers of two up to MAX_NB_SPECTROGRAMS) so XLA compiles a handful of
+    shapes instead of one per batch (the reference pads to the ragged batch
+    max, loader.py:18-43 — fine for eager torch, poison for jit).
+  * ``prefetch_to_device`` keeps PREFETCH_DEPTH batches in flight to HBM so
+    the TPU never waits on the host (replaces pinned-memory + non_blocking
+    H2D copies, tools/train_net.py:412-422).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .build import build_dataset
+
+# import for registration side effects
+from . import epickitchens as _ek  # noqa: F401
+from . import epickitchens_slide as _eks  # noqa: F401
+from . import vggsound as _vgg  # noqa: F401
+
+
+def bucket_windows(n: int, max_n: int) -> int:
+    """Round n up to the next power-of-two bucket, capped at max_n."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_n)
+
+
+def collate(items: List[Dict[str, Any]], max_windows: Optional[int] = None) -> Dict[str, Any]:
+    """Stack item dicts into batch arrays.
+
+    Regular items -> waveform (B, S); GRU items -> waveform (B, Nb, S) with
+    window-count bucketing, lengths (B,), noun_embedding (B, 512).
+    Labels become a dict of stacked arrays (parity with
+    epickitchens_collate_fn, loader.py:18-63).
+    """
+    first = items[0]
+    out: Dict[str, Any] = {}
+
+    if first["waveform"].ndim == 2:  # GRU chain items (N_i, S)
+        n_max = max(int(it["length"]) for it in items)
+        nb = bucket_windows(n_max, max_windows or n_max)
+        s = first["waveform"].shape[1]
+        waves = np.zeros((len(items), nb, s), np.float32)
+        n_valid = np.zeros((len(items), nb), np.int32)
+        lengths = np.zeros((len(items),), np.int32)
+        for i, it in enumerate(items):
+            n = min(int(it["length"]), nb)
+            waves[i, :n] = it["waveform"][:n]
+            n_valid[i, :n] = it["n_valid"][:n]
+            # padded windows: replicate n_valid=1 to keep the on-device
+            # edge-pad gather well-defined; their outputs are length-masked.
+            n_valid[i, n:] = 1
+            lengths[i] = n
+        out["waveform"] = waves
+        out["n_valid"] = n_valid
+        out["lengths"] = lengths
+        if "noun_embedding" in first:
+            out["noun_embedding"] = np.stack([it["noun_embedding"] for it in items])
+    else:
+        out["waveform"] = np.stack([it["waveform"] for it in items])
+        out["n_valid"] = np.asarray([it["n_valid"] for it in items], np.int32)
+
+    label_keys = first["label"].keys()
+    out["labels"] = {
+        k: np.asarray(np.stack([np.asarray(it["label"][k]) for it in items]))
+        for k in label_keys
+    }
+    out["index"] = np.asarray([it["index"] for it in items], np.int64)
+    out["metadata"] = {
+        k: [it["metadata"][k] for it in items] for k in first["metadata"].keys()
+    }
+    return out
+
+
+class AsfLoader:
+    """Iterable over collated numpy batches with a worker thread pool."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        num_workers: int = 8,
+        seed: int = 0,
+        max_windows: Optional[int] = None,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.epoch = 0
+        self.max_windows = max_windows
+        self.rank = rank
+        self.world_size = world_size
+
+    def set_epoch(self, epoch: int):
+        """Parity with DistributedSampler.set_epoch (loader.py:120-134)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.world_size > 1:  # multi-host shard split (DCN-level)
+            idx = idx[self.rank :: self.world_size]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx = self._indices()
+        nb = len(self)
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for b in range(nb):
+                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(chunk) == 0:
+                    break
+                items = list(pool.map(self.dataset.__getitem__, chunk))
+                yield collate(items, self.max_windows)
+
+
+def construct_loader(cfg, split: str) -> AsfLoader:
+    """Parity with loader.construct_loader (loader.py:66-117)."""
+    assert split in ["train", "val", "test", "train+val"]
+    if split in ["train", "train+val"]:
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = True, True
+    elif split == "val":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = False, False
+    else:
+        dataset_name = cfg.TEST.DATASET
+        batch_size = cfg.TEST.BATCH_SIZE
+        shuffle, drop_last = False, False
+
+    dataset = build_dataset(dataset_name, cfg, split)
+    return AsfLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        num_workers=cfg.DATA_LOADER.NUM_WORKERS,
+        seed=cfg.RNG_SEED,
+        max_windows=cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS,
+        rank=cfg.SHARD_ID,
+        world_size=cfg.NUM_SHARDS,
+    )
+
+
+def shuffle_dataset(loader: AsfLoader, cur_epoch: int):
+    """Parity with loader.shuffle_dataset (loader.py:120-134)."""
+    loader.set_epoch(cur_epoch)
+
+
+class DevicePrefetcher:
+    """Wrap a batch iterator; keeps up to ``depth`` batches uploaded ahead.
+
+    The upload happens on a background thread via jax.device_put, so host
+    collation and H2D transfer overlap device compute.
+    """
+
+    def __init__(self, it: Iterator[Dict[str, Any]], depth: int = 2, sharding=None):
+        import jax
+
+        self._jax = jax
+        self.it = it
+        self.depth = depth
+        self.sharding = sharding
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _put_device(self, batch):
+        jax = self._jax
+
+        def put(x):
+            if isinstance(x, np.ndarray) and x.dtype != object:
+                if self.sharding is not None:
+                    return jax.device_put(x, self.sharding)
+                return jax.device_put(x)
+            return x
+
+        return self._jax.tree.map(put, batch)
+
+    def _worker(self):
+        try:
+            for batch in self.it:
+                self.q.put(("item", self._put_device(batch)))
+        except Exception as e:  # surface worker errors to the consumer
+            self.q.put(("error", e))
+        finally:
+            self.q.put(("done", None))
+
+    def __iter__(self):
+        while True:
+            kind, payload = self.q.get()
+            if kind == "done":
+                return
+            if kind == "error":
+                raise payload
+            yield payload

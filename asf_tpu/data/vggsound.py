@@ -1,0 +1,102 @@
+"""VGG-Sound dataset (per-clip .wav files).
+
+Parity with /root/reference/audio_slowfast/datasets/vggsound.py:14-97 and
+audio_loader_vggsound.py:39-85 (own get_start_end_idx without start_sample).
+Wav decoding uses scipy.io.wavfile with int16 -> float32/32768 scaling —
+identical to librosa.core.load(sr=None) on 16-bit PCM.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .build import register_dataset
+from .sampling import get_start_end_idx
+from asf_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def load_wav(path: str) -> tuple[np.ndarray, int]:
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:  # librosa mono=False keeps channels; reference audio is mono
+        data = data.mean(axis=1)
+    return data, sr
+
+
+@register_dataset("Vggsound")
+class Vggsound:
+    def __init__(self, cfg, mode: str):
+        assert mode in ["train", "val", "test"], f"Split '{mode}' not supported for VGG-Sound"
+        self.cfg = cfg
+        self.mode = mode
+        self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS if mode == "test" else 1
+        self.clip_size = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS))
+        self.clip_samples = self.clip_size - 1
+        self._rng = np.random.default_rng(cfg.RNG_SEED)
+        self._construct_loader()
+
+    def _construct_loader(self):
+        c = self.cfg.VGGSOUND
+        name = {"train": c.TRAIN_LIST, "val": c.VAL_LIST, "test": c.TEST_LIST}[self.mode]
+        path = os.path.join(c.ANNOTATIONS_DIR, name)
+        assert os.path.exists(path), f"{path} dir not found"
+        self._audio_records = []
+        self._temporal_idx = []
+        for _, row in pd.read_pickle(path).iterrows():
+            for idx in range(self._num_clips):
+                self._audio_records.append(row)
+                self._temporal_idx.append(idx)
+        assert len(self._audio_records) > 0, (
+            f"Failed to load VGG-Sound split {self.mode} from {path}"
+        )
+        logger.info("Constructed Vggsound %s (size %d)", self.mode, len(self._audio_records))
+
+    def __getitem__(self, index: int):
+        record = self._audio_records[index]
+        tsi = -1 if self.mode in ["train", "val"] else self._temporal_idx[index]
+
+        path = os.path.join(
+            self.cfg.VGGSOUND.AUDIO_DATA_DIR, record["video"][:-4] + ".wav"
+        )
+        samples, sr = load_wav(path)
+        assert sr == self.cfg.AUDIO_DATA.SAMPLING_RATE, (
+            f"Audio sampling rate ({sr}) does not match target "
+            f"({self.cfg.AUDIO_DATA.SAMPLING_RATE})"
+        )
+
+        if len(samples) < self.clip_size:
+            clip = samples
+        else:
+            start, end = get_start_end_idx(
+                len(samples), self.clip_size, tsi, self.cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                rng=self._rng,
+            )
+            clip = samples[int(start) : int(end)]
+
+        wave = np.zeros(self.clip_samples, np.float32)
+        n = min(len(clip), self.clip_samples)
+        wave[:n] = clip[:n]
+        return {
+            "waveform": wave,
+            "n_valid": np.int32(n),
+            "label": {"class_id": record["class_id"]},
+            "index": index,
+            "metadata": {},
+        }
+
+    def __len__(self):
+        return len(self._audio_records)

@@ -1,0 +1,162 @@
+"""Data pipeline tests on synthetic fixtures (hermetic; no real EPIC/VGG data).
+
+Mirrors the reference's data-dependent integration tests
+(tests/test_dataloader.py, test_dataloader_slide.py, test_dataset_instances.py
+in /root/reference) but against synthesized HDF5/wav/pickle fixtures.
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import epic_cfg, make_epic_fixture, make_vgg_fixture
+from asf_tpu.data.build import build_dataset
+from asf_tpu.data.loader import AsfLoader, bucket_windows, collate, construct_loader
+from asf_tpu.data.records import timestamp_to_sec
+
+
+def test_timestamp_to_sec():
+    assert abs(timestamp_to_sec("00:01:30.50") - 90.5) < 1e-9
+    assert abs(timestamp_to_sec("01:00:00.000") - 3600.0) < 1e-9
+    assert abs(timestamp_to_sec("00:00:02.25") - 2.25) < 1e-9
+
+
+def test_epic_regular_items(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    ds = build_dataset("EpicKitchens", cfg, "train")
+    assert len(ds) == 6
+    item = ds[0]
+    clip_samples = int(round(24000 * 1.999)) - 1
+    assert item["waveform"].shape == (clip_samples,)
+    assert item["waveform"].dtype == np.float32
+    assert 0 < item["n_valid"] <= clip_samples
+    assert set(item["label"].keys()) == {"verb", "noun"}
+    # short segment (record 0 is 0.8 s) -> n_valid < clip_samples and zero tail
+    short = ds[0]
+    assert short["n_valid"] < clip_samples
+    assert np.all(short["waveform"][int(short["n_valid"]):] == 0)
+
+
+def test_epic_test_mode_ensemble_views(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 3
+    ds = build_dataset("EpicKitchens", cfg, "test")
+    assert len(ds) == 6 * 3  # replicated per view
+
+
+def test_epic_gru_items_and_collate(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root, with_pddl=True)
+    cfg = epic_cfg(root, gru=True, pddl=True)
+    ds = build_dataset("EpicKitchensGRUwithPDDL", cfg, "train")
+    item = ds[1]  # 3 s segment -> ceil((3-1)/(1.999-1)) = 3 windows
+    assert item["waveform"].ndim == 2
+    assert item["length"] == item["waveform"].shape[0] == 3
+    assert item["noun_embedding"].shape == (512,)
+    assert item["label"]["precs"].shape == (5,)
+
+    batch = collate([ds[i] for i in range(4)], max_windows=cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS)
+    b, nb, s = batch["waveform"].shape
+    assert b == 4 and nb == bucket_windows(int(batch["lengths"].max()), 15)
+    assert batch["noun_embedding"].shape == (4, 512)
+    assert batch["labels"]["verb"].shape == (4,)
+    assert batch["labels"]["precs"].shape == (4, 5)
+    assert batch["lengths"].min() >= 1
+
+
+def test_gru_window_starts_match_reference_semantics(tmp_path):
+    """Window i must start at segment_start + i * sr (1 s stride, the
+    reference's pack_audio_gru:47 behaviour)."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root, gru=True)
+    ds = build_dataset("EpicKitchensGRU", cfg, "train")
+    rec = ds._audio_records[1]
+    assert rec.num_audio_samples >= ds.clip_size  # long segment
+    item = ds._get_item_gru(1, np.random.default_rng(0))
+    import h5py
+
+    with h5py.File(cfg.EPICKITCHENS.AUDIO_DATA_FILE, "r") as f:
+        video = f[rec.untrimmed_video_name][()]
+    sr = 24000
+    for i in range(int(item["length"])):
+        start = rec.start_audio_sample + i * sr
+        want = video[start : start + ds.clip_samples]
+        np.testing.assert_allclose(item["waveform"][i, : len(want)], want, rtol=1e-6)
+
+
+def test_vggsound_dataset_and_loader(tmp_path):
+    root = str(tmp_path)
+    audio_dir, pkl = make_vgg_fixture(root)
+    from asf_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.VGGSOUND.AUDIO_DATA_DIR = audio_dir
+    cfg.VGGSOUND.ANNOTATIONS_DIR = root
+    cfg.VGGSOUND.TEST_LIST = "test.pkl"
+    cfg.VGGSOUND.TRAIN_LIST = "test.pkl"
+    cfg.VGGSOUND.VAL_LIST = "test.pkl"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+
+    loader = construct_loader(cfg, "train")
+    batch = next(iter(loader))
+    clip_samples = int(round(24000 * 1.279)) - 1
+    assert batch["waveform"].shape == (2, clip_samples)
+    assert batch["labels"]["class_id"].shape == (2,)
+    assert len(loader) == 2  # 4 clips, batch 2, drop_last
+
+
+def test_loader_shuffle_epoch_determinism(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    loader = construct_loader(cfg, "train")
+    loader.set_epoch(0)
+    b0 = next(iter(loader))["index"]
+    loader.set_epoch(0)
+    b0b = next(iter(loader))["index"]
+    np.testing.assert_array_equal(b0, b0b)
+    loader.set_epoch(1)
+    b1 = next(iter(loader))["index"]
+    assert not np.array_equal(b0, b1)
+
+
+def test_slide_whole_video(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    cfg.TEST.DATASET = "EpicKitchensSlide"
+    cfg.TEST.SLIDE.ENABLE = True
+    cfg.TEST.SLIDE.WIN_SIZE = 2.0
+    cfg.TEST.SLIDE.HOP_SIZE = 2.0
+    cfg.TEST.SLIDE.INSIDE_ACTION_BOUNDS = False
+    cfg.TEST.SLIDE.PER_ACTION_INSTANCE = False
+    ds = build_dataset("EpicKitchensSlide", cfg, "test")
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["label"]["verb"].shape == (4,)  # MAX_OVERLAP multi-labels
+    # at least one window got annotated
+    labels = np.stack([ds[i]["label"]["verb"] for i in range(len(ds))])
+    assert (labels != -1).any()
+
+
+def test_slide_action_bounds_and_per_instance(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    cfg.TEST.DATASET = "EpicKitchensSlide"
+    cfg.TEST.SLIDE.INSIDE_ACTION_BOUNDS = True
+    cfg.TEST.SLIDE.PER_ACTION_INSTANCE = True
+    ds = build_dataset("EpicKitchensSlide", cfg, "test")
+    assert len(ds) == 6  # one record per annotation
+
+    cfg.TEST.SLIDE.PER_ACTION_INSTANCE = False
+    cfg.TEST.SLIDE.WIN_SIZE = 1.0
+    cfg.TEST.SLIDE.HOP_SIZE = 1.0
+    ds2 = build_dataset("EpicKitchensSlide", cfg, "test")
+    assert len(ds2) >= len(ds)  # sliding creates >= one window per annotation
