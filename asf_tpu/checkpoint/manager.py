@@ -1,0 +1,209 @@
+"""Checkpoint save/load + auto-resume.
+
+Parity with /root/reference/audio_slowfast/utils/checkpoint.py:
+  * periodic ``checkpoint_epoch_{N:05d}`` + best (``save_checkpoint``:96-125,
+    is_checkpoint_epoch:56-66)
+  * auto-resume from the latest checkpoint in OUTPUT_DIR
+    (``load_train_checkpoint``:313-336, get_last_checkpoint:28-41)
+  * test-time precedence: TEST.CHECKPOINT_FILE_PATH -> last in OUTPUT_DIR ->
+    TRAIN.CHECKPOINT_FILE_PATH (``load_test_checkpoint``:281-310)
+  * ``.pyth`` torch checkpoints load through the converter with
+    name-pattern clearing + shape-matched partial load (:128-203)
+
+Storage is Orbax (async-capable, TPU-native sharded arrays) instead of
+torch.save.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .pyth_converter import load_pyth, merge_partial, torch_state_to_flax
+from asf_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+CHECKPOINT_DIR = "checkpoints"
+
+
+def _ckpt_root(path_to_job: str) -> str:
+    return os.path.abspath(os.path.join(path_to_job, CHECKPOINT_DIR))
+
+
+def make_checkpoint_dir(path_to_job: str) -> str:
+    d = _ckpt_root(path_to_job)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_path_to_checkpoint(path_to_job: str, epoch: int) -> str:
+    return os.path.join(_ckpt_root(path_to_job), f"checkpoint_epoch_{epoch:05d}")
+
+
+def get_last_checkpoint(path_to_job: str) -> Optional[str]:
+    d = _ckpt_root(path_to_job)
+    if not os.path.isdir(d):
+        return None
+    names = [n for n in os.listdir(d) if n.startswith("checkpoint_epoch_")]
+    if not names:
+        return None
+    return os.path.join(d, sorted(names)[-1])
+
+
+def has_checkpoint(path_to_job: str) -> bool:
+    return get_last_checkpoint(path_to_job) is not None
+
+
+def is_checkpoint_epoch(cfg, cur_epoch: int) -> bool:
+    """Save on period or at the last epoch (checkpoint.py:56-66)."""
+    return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or (
+        cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
+    )
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path_to_job: str, state, epoch: int, cfg, name: Optional[str] = None) -> str:
+    """Save {params, batch_stats, opt_state, epoch, cfg} (checkpoint.py:96-125)."""
+    make_checkpoint_dir(path_to_job)
+    path = (
+        os.path.join(_ckpt_root(path_to_job), name)
+        if name
+        else get_path_to_checkpoint(path_to_job, epoch + 1)
+    )
+    payload = {
+        "epoch": epoch,
+        "model_state": {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        },
+        "optimizer_state": jax.device_get(state.opt_state),
+        "cfg": cfg.dump(),
+    }
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint_dir(path: str) -> Dict[str, Any]:
+    return _checkpointer().restore(path)
+
+
+def _tree_restore_types(template, loaded):
+    """Orbax restores lists for tuples etc.; map loaded leaves onto the
+    template structure."""
+    t_leaves, treedef = jax.tree.flatten(template)
+    l_leaves = jax.tree.leaves(loaded)
+    assert len(t_leaves) == len(l_leaves), "checkpoint/optimizer structure mismatch"
+    cast = [np.asarray(l, dtype=np.asarray(t).dtype) for t, l in zip(t_leaves, l_leaves)]
+    return jax.tree.unflatten(treedef, cast)
+
+
+def load_from_pyth(path: str, variables: Dict[str, Any], clear_name_patterns=()) -> Tuple[Dict, int]:
+    """Load a reference .pyth into an existing variable tree (partial,
+    shape-checked). Returns (variables, epoch)."""
+    ckpt = load_pyth(path)
+    sd = ckpt.get("model_state", ckpt)
+    fx = torch_state_to_flax(sd, clear_name_patterns)
+    params, miss_p = merge_partial(variables["params"], fx["params"])
+    stats, miss_s = merge_partial(variables.get("batch_stats", {}), fx["batch_stats"])
+    for m in (miss_p + miss_s)[:20]:
+        logger.warning("pyth load mismatch: %s", m)
+    epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
+    return {"params": params, "batch_stats": stats}, epoch
+
+
+def load_train_checkpoint(cfg, state):
+    """Auto-resume / warm-start logic (checkpoint.py:313-336).
+
+    Returns (state, start_epoch).
+    """
+    from asf_tpu.engine.steps import TrainState
+
+    def with_vars(v, epoch):
+        return (
+            TrainState(
+                params=v["params"],
+                batch_stats=v["batch_stats"],
+                opt_state=state.opt_state,
+                step=state.step,
+            ),
+            epoch,
+        )
+
+    if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR):
+        last = get_last_checkpoint(cfg.OUTPUT_DIR)
+        logger.info("Auto-resume from %s", last)
+        payload = load_checkpoint_dir(last)
+        new_state = TrainState(
+            params=_tree_restore_types(state.params, payload["model_state"]["params"]),
+            batch_stats=_tree_restore_types(
+                state.batch_stats, payload["model_state"]["batch_stats"]
+            ),
+            opt_state=_tree_restore_types(state.opt_state, payload["optimizer_state"]),
+            step=state.step,
+        )
+        return new_state, int(payload["epoch"]) + 1
+
+    path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+    if path:
+        logger.info("Load initial weights from %s", path)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if path.endswith(".pyth") or path.endswith(".pth") or path.endswith(".pt"):
+            v, epoch = load_from_pyth(
+                path, variables, tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN)
+            )
+        else:
+            payload = load_checkpoint_dir(path)
+            v = {
+                "params": _tree_restore_types(state.params, payload["model_state"]["params"]),
+                "batch_stats": _tree_restore_types(
+                    state.batch_stats, payload["model_state"]["batch_stats"]
+                ),
+            }
+            epoch = int(payload["epoch"])
+        start_epoch = 0 if cfg.TRAIN.CHECKPOINT_EPOCH_RESET else epoch + 1
+        s, _ = with_vars(v, 0)
+        return s, start_epoch
+
+    return state, 0
+
+
+def load_test_checkpoint(cfg, state):
+    """Test-time checkpoint precedence (checkpoint.py:281-310)."""
+    from asf_tpu.engine.steps import TrainState
+
+    if cfg.TEST.CHECKPOINT_FILE_PATH:
+        path = cfg.TEST.CHECKPOINT_FILE_PATH
+    elif has_checkpoint(cfg.OUTPUT_DIR):
+        path = get_last_checkpoint(cfg.OUTPUT_DIR)
+    elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+    else:
+        logger.info("Testing with random initialization. Only for debugging.")
+        return state
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if path.endswith(".pyth") or path.endswith(".pth") or path.endswith(".pt"):
+        v, _ = load_from_pyth(path, variables)
+    else:
+        payload = load_checkpoint_dir(path)
+        v = {
+            "params": _tree_restore_types(state.params, payload["model_state"]["params"]),
+            "batch_stats": _tree_restore_types(
+                state.batch_stats, payload["model_state"]["batch_stats"]
+            ),
+        }
+    return TrainState(
+        params=v["params"],
+        batch_stats=v["batch_stats"],
+        opt_state=state.opt_state,
+        step=state.step,
+    )

@@ -1,0 +1,80 @@
+"""Validation epoch.
+
+Parity with eval_epoch / eval_epoch_with_state
+(/root/reference/audio_slowfast/tools/eval_net.py:16-655): no-grad forward,
+train-mirroring metrics, state F1/precision/recall, best-epoch decision from
+the val meter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from asf_tpu.parallel.mesh import pad_batch_to, shard_batch
+from . import metrics
+from .meters import EPICValMeter, ValMeter
+from .steps import has_state_head, is_multitask, prepare_state_labels_jnp
+
+
+def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=None):
+    multitask = is_multitask(cfg)
+    with_state = has_state_head(cfg)
+    batch_size = val_loader.batch_size
+
+    val_meter.iter_tic()
+    for cur_iter, batch in enumerate(val_loader):
+        batch, n_real = pad_batch_to(batch, batch_size)
+        metadata = batch.pop("metadata", None)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        val_meter.data_toc()
+
+        preds = eval_step(state, batch)
+
+        if multitask:
+            x_v = jnp.asarray(preds[0])[:n_real]
+            x_n = jnp.asarray(preds[1])[:n_real]
+            verb = batch["labels"]["verb"][:n_real]
+            noun = batch["labels"]["noun"][:n_real]
+            v1, v5 = metrics.topk_accuracies(x_v, verb, (1, 5))
+            n1, n5 = metrics.topk_accuracies(x_n, noun, (1, 5))
+            a1, a5 = metrics.multitask_topk_accuracies((x_v, x_n), (verb, noun), (1, 5))
+            val_meter.update_stats(
+                (float(v1), float(n1), float(a1)),
+                (float(v5), float(n5), float(a5)),
+                n_real,
+            )
+            if with_state:
+                x_s = np.asarray(preds[2])[:n_real]
+                lengths = np.asarray(batch["lengths"])[:n_real]
+                labels_state = np.asarray(
+                    prepare_state_labels_jnp(
+                        jnp.asarray(batch["labels"]["precs"][:n_real]),
+                        jnp.asarray(batch["labels"]["posts"][:n_real]),
+                        jnp.asarray(lengths),
+                        x_s.shape[1],
+                    )
+                )
+                val_meter.update_state_metrics(
+                    metrics.state_metrics(x_s, labels_state, lengths, split="Val")
+                )
+        else:
+            scores = jnp.asarray(preds)[:n_real]
+            labels = batch["labels"]["class_id"][:n_real]
+            k1, k5 = metrics.topk_accuracies(scores, labels, (1, 5))
+            val_meter.update_stats(100.0 - float(k1), 100.0 - float(k5), n_real)
+
+        val_meter.iter_toc()
+        val_meter.log_iter_stats(cur_epoch, cur_iter)
+        val_meter.iter_tic()
+
+    is_best, top1 = val_meter.log_epoch_stats(cur_epoch)
+    val_meter.reset()
+    return is_best, top1
+
+
+def build_val_meter(cfg, max_iter: int):
+    if cfg.TRAIN.DATASET.lower().startswith("epickitchens"):
+        return EPICValMeter(max_iter, cfg, with_state=has_state_head(cfg))
+    return ValMeter(max_iter, cfg)

@@ -1,0 +1,155 @@
+"""Test driver: multi-view ensembling + sliding-window evaluation.
+
+Parity with ``test(cfg)`` / ``perform_test`` / ``perform_test_slide``
+(/root/reference/audio_slowfast/tools/test_net.py:31-544): build + load
+checkpoint, meter selection by dataset/mode (:420-464), score accumulation,
+finalisation, and pickling of
+``{verb_output, noun_output, labels, narration_id}`` to
+``OUTPUT_DIR/scores/...`` (:498-541). VGG-Sound additionally reports
+mAP/AUC/d'.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from asf_tpu.checkpoint import manager as cu
+from asf_tpu.data.loader import construct_loader
+from asf_tpu.models import build_model
+from asf_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate_tree, shard_batch
+from asf_tpu.utils.logging import get_logger, setup_logging
+from . import metrics
+from .meters import EPICTestMeter, EPICTestMeterSlide, TestMeter
+from .optimizer import construct_optimizer
+from .steps import TrainState, init_state, is_multitask, make_eval_step
+
+logger = get_logger(__name__)
+
+
+def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh):
+    multitask = is_multitask(cfg)
+    batch_size = test_loader.batch_size
+    test_meter.iter_tic()
+    for cur_iter, batch in enumerate(test_loader):
+        batch, n_real = pad_batch_to(batch, batch_size)
+        metadata = batch.pop("metadata", None)
+        sharded = shard_batch(batch, mesh)
+        test_meter.data_toc()
+
+        preds = eval_step(state, sharded)
+
+        clip_ids = batch["index"][:n_real]
+        if multitask:
+            x_v = np.asarray(preds[0])[:n_real]
+            x_n = np.asarray(preds[1])[:n_real]
+            test_meter.update_stats(
+                (x_v, x_n),
+                (batch["labels"]["verb"][:n_real], batch["labels"]["noun"][:n_real]),
+                {k: v[:n_real] for k, v in metadata.items()} if metadata else None,
+                clip_ids,
+            )
+        else:
+            scores = np.asarray(preds)[:n_real]
+            test_meter.update_stats(scores, batch["labels"]["class_id"][:n_real], clip_ids)
+
+        test_meter.iter_toc()
+        test_meter.log_iter_stats(cur_iter)
+        test_meter.iter_tic()
+
+    return test_meter.finalize_metrics()
+
+
+def _save_scores(cfg, results, multitask):
+    scores_dir = os.path.join(cfg.OUTPUT_DIR, "scores")
+    os.makedirs(scores_dir, exist_ok=True)
+    name = cfg.TEST.SAVE_RESULTS_PATH or "test_scores.pkl"
+    path = os.path.join(scores_dir, name)
+    if multitask:
+        (verb_p, noun_p), (verb_l, noun_l), metadata = results
+        payload = {
+            "verb_output": verb_p,
+            "noun_output": noun_p,
+            "labels": {"verb": verb_l, "noun": noun_l},
+            "narration_id": metadata,
+        }
+    else:
+        preds, labels = results
+        payload = {"output": preds, "labels": labels}
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    logger.info("Saved test scores to %s", path)
+
+
+def test(cfg):
+    setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    logger.info("Test with config:\n%s", cfg.dump())
+
+    mesh = make_mesh(cfg)
+    model = build_model(cfg)
+    test_loader = construct_loader(cfg, "test")
+
+    example = next(iter(test_loader))
+    example.pop("metadata", None)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    class _Lazy:
+        tx = None
+
+        def init(self, params):
+            if self.tx is None:
+                self.tx = construct_optimizer(cfg, params)
+            return self.tx.init(params)
+
+    state = init_state(cfg, model, _Lazy(), rng, example)
+    state = TrainState(
+        params=replicate_tree(state.params, mesh),
+        batch_stats=replicate_tree(state.batch_stats, mesh),
+        opt_state=state.opt_state,
+        step=state.step,
+    )
+    state = cu.load_test_checkpoint(cfg, state)
+
+    eval_step = make_eval_step(cfg, model)
+
+    multitask = is_multitask(cfg)
+    dataset = test_loader.dataset
+    num_items = len(dataset)
+
+    if cfg.TEST.SLIDE.ENABLE or cfg.TEST.DATASET.lower().endswith("slide"):
+        meter = EPICTestMeterSlide(
+            num_windows=num_items,
+            num_cls=cfg.MODEL.NUM_CLASSES,
+            per_action_instance=cfg.TEST.SLIDE.PER_ACTION_INSTANCE,
+        )
+    elif multitask:
+        num_clips = getattr(dataset, "_num_clips", cfg.TEST.NUM_ENSEMBLE_VIEWS)
+        meter = EPICTestMeter(
+            num_audios=num_items // num_clips,
+            num_clips=num_clips,
+            num_cls=cfg.MODEL.NUM_CLASSES,
+            overall_iters=len(test_loader),
+            ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
+        )
+    else:
+        num_clips = getattr(dataset, "_num_clips", cfg.TEST.NUM_ENSEMBLE_VIEWS)
+        meter = TestMeter(
+            num_audios=num_items // num_clips,
+            num_clips=num_clips,
+            num_cls=cfg.MODEL.NUM_CLASSES[0],
+            overall_iters=len(test_loader),
+            ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
+        )
+
+    results = perform_test(test_loader, state, eval_step, meter, cfg, mesh)
+    _save_scores(cfg, results, multitask)
+
+    if not multitask and cfg.DATA.MULTI_LABEL is False and cfg.TEST.DATASET.lower() == "vggsound":
+        preds, labels = results
+        logger.info("VGG-Sound stats: %s", metrics.vggsound_stats(preds, labels))
+
+    return results

@@ -1,0 +1,247 @@
+"""Training driver.
+
+Parity with ``train(cfg)`` (/root/reference/audio_slowfast/tools/train_net.py:683-860):
+seed -> build model/optimizer -> auto-resume -> loaders -> meters -> epoch
+loop {shuffle, train_epoch, periodic checkpoint, periodic eval, best-ckpt} —
+re-expressed over one jitted train step on a data-parallel mesh.
+
+Replaced subsystems:
+  * launch_job/mpu.run/DDP  -> single controller + mesh sharding (parallel/mesh.py)
+  * per-iter set_lr over param groups -> LR scalar operand into the step
+  * fvcore precise-BN -> ``precise_bn`` below (momentum-1 stat collection)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asf_tpu.checkpoint import manager as cu
+from asf_tpu.data.loader import construct_loader, shuffle_dataset
+from asf_tpu.models import build_model
+from asf_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from asf_tpu.utils import lr_policy
+from asf_tpu.utils.logging import get_logger, setup_logging
+from . import metrics
+from .eval_loop import build_val_meter, eval_epoch
+from .meters import EPICTrainMeter, TrainMeter
+from .optimizer import construct_optimizer
+from .steps import (
+    TrainState,
+    has_state_head,
+    init_state,
+    is_gru_model,
+    is_multitask,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = get_logger(__name__)
+
+
+def check_nan_losses(loss: float):
+    """Parity with misc.check_nan_losses (utils/misc.py:23-30)."""
+    if math.isnan(loss):
+        raise RuntimeError(f"ERROR: Got NaN losses {loss}")
+
+
+def train_epoch(
+    train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng
+):
+    multitask = is_multitask(cfg)
+    data_size = len(train_loader)
+
+    train_meter.iter_tic()
+    for cur_iter, batch in enumerate(train_loader):
+        metadata = batch.pop("metadata", None)
+        batch = shard_batch(batch, mesh)
+        train_meter.data_toc()
+
+        lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
+        state, parts, preds = train_step(state, batch, jnp.float32(lr), rng)
+
+        loss_val = float(parts["loss"])
+        check_nan_losses(loss_val)
+        mb_size = batch["labels"][next(iter(batch["labels"]))].shape[0]
+
+        if multitask:
+            x_v, x_n = jnp.asarray(preds[0]), jnp.asarray(preds[1])
+            verb, noun = batch["labels"]["verb"], batch["labels"]["noun"]
+            v1, v5 = metrics.topk_accuracies(x_v, verb, (1, 5))
+            n1, n5 = metrics.topk_accuracies(x_n, noun, (1, 5))
+            a1, a5 = metrics.multitask_topk_accuracies((x_v, x_n), (verb, noun), (1, 5))
+            train_meter.update_stats(
+                (float(v1), float(n1), float(a1)),
+                (float(v5), float(n5), float(a5)),
+                {k: float(v) for k, v in parts.items()},
+                lr,
+                mb_size,
+            )
+        else:
+            scores = jnp.asarray(preds)
+            labels = batch["labels"]["class_id"]
+            k1, k5 = metrics.topk_accuracies(scores, labels, (1, 5))
+            train_meter.update_stats(
+                100.0 - float(k1), 100.0 - float(k5), loss_val, lr, mb_size
+            )
+
+        train_meter.iter_toc()
+        train_meter.log_iter_stats(cur_epoch, cur_iter)
+        train_meter.iter_tic()
+
+    train_meter.log_epoch_stats(cur_epoch)
+    train_meter.reset()
+    return state
+
+
+def precise_bn(cfg, state: TrainState, train_loader, mesh, num_iters: int):
+    """Recompute BN running stats over ``num_iters`` batches
+    (parity with calculate_and_update_precise_bn, tools/train_net.py:659-680,
+    and fvcore update_bn_stats — cumulative average of per-batch stats)."""
+    cfg2 = cfg.clone()
+    cfg2.BN["MOMENTUM_OVERRIDE"] = 1.0
+    model = build_model(cfg2)
+    from .steps import make_input_pipeline, is_gru_model as gru_of
+
+    pipeline = make_input_pipeline(cfg2)
+    gru = gru_of(cfg2)
+
+    @jax.jit
+    def stats_step(params, batch_stats, batch):
+        paths = pipeline(batch["waveform"], batch["n_valid"], None, train=False)
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=True, bn_stats_frozen=False)
+        if gru:
+            _, mut = model.apply(
+                variables, paths, batch["lengths"], batch.get("noun_embedding"),
+                rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"], **kwargs,
+            )
+        else:
+            _, mut = model.apply(
+                variables, paths, rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"], **kwargs,
+            )
+        return mut["batch_stats"]
+
+    acc = None
+    count = 0
+    for i, batch in enumerate(train_loader):
+        if i >= num_iters:
+            break
+        batch.pop("metadata", None)
+        batch = shard_batch(batch, mesh)
+        stats = stats_step(state.params, state.batch_stats, batch)
+        acc = stats if acc is None else jax.tree.map(lambda a, b: a + b, acc, stats)
+        count += 1
+    if acc is None:
+        return state
+    new_stats = jax.tree.map(lambda a: a / count, acc)
+    return state.replace(batch_stats=new_stats)
+
+
+def build_train_meter(cfg, epoch_iters: int):
+    if cfg.TRAIN.DATASET.lower().startswith("epickitchens"):
+        return EPICTrainMeter(epoch_iters, cfg, with_state=has_state_head(cfg))
+    return TrainMeter(epoch_iters, cfg)
+
+
+def train(cfg):
+    setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    logger.info("Train with config:\n%s", cfg.dump())
+
+    mesh = make_mesh(cfg)
+    logger.info("Mesh: %s devices on axis 'data'", mesh.devices.size)
+
+    model = build_model(cfg)
+
+    train_loader = construct_loader(
+        cfg,
+        "train+val"
+        if cfg.TRAIN.DATASET.lower().startswith("epickitchens") and cfg.EPICKITCHENS.TRAIN_PLUS_VAL
+        else "train",
+    )
+    val_loader = construct_loader(cfg, "val")
+
+    # Initialise state from the first batch's shapes.
+    example = next(iter(train_loader))
+    example.pop("metadata", None)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    # params template first (for optimizer masks), then the full state
+    tx = None
+
+    def _tx_factory(params):
+        return construct_optimizer(cfg, params)
+
+    # init_state needs tx; build in two phases via a lazy holder
+    class _Lazy:
+        tx = None
+
+        def init(self, params):
+            if self.tx is None:
+                self.tx = _tx_factory(params)
+            return self.tx.init(params)
+
+    lazy = _Lazy()
+    state = init_state(cfg, model, lazy, rng, example)
+    tx = lazy.tx
+
+    state = TrainState(
+        params=replicate_tree(state.params, mesh),
+        batch_stats=replicate_tree(state.batch_stats, mesh),
+        opt_state=replicate_tree(state.opt_state, mesh),
+        step=state.step,
+    )
+
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+
+    train_step = make_train_step(cfg, model, tx)
+    eval_step = make_eval_step(cfg, model)
+
+    train_meter = build_train_meter(cfg, len(train_loader))
+    val_meter = build_val_meter(cfg, len(val_loader))
+
+    tb_writer = None
+    if cfg.TENSORBOARD.ENABLE:
+        try:
+            from asf_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+            tb_writer = TensorboardWriter(cfg)
+        except Exception as e:  # tensorboard optional
+            logger.warning("TensorBoard disabled: %s", e)
+
+    logger.info("Start epoch: %d", start_epoch + 1)
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        shuffle_dataset(train_loader, cur_epoch)
+        state = train_epoch(
+            train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng
+        )
+
+        if cfg.BN.USE_PRECISE_STATS:
+            state = precise_bn(
+                cfg, state, train_loader, mesh,
+                min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
+            )
+
+        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+
+        if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
+            cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
+        ):
+            is_best, top1 = eval_epoch(
+                val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh
+            )
+            if is_best:
+                cu.save_checkpoint(
+                    cfg.OUTPUT_DIR, state, cur_epoch, cfg, name="checkpoint_best"
+                )
+                logger.info("Saved best checkpoint at epoch %d: %s", cur_epoch + 1, top1)
+
+    if tb_writer is not None:
+        tb_writer.close()
+    return state

@@ -22,7 +22,9 @@ from .heads import ResNetBasicHead
 from .layers import AudioModelStem, FuseFastToSlow, ResStage
 from .norm import make_norm
 
-_MODEL_STAGE_DEPTH = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+# 50/101 match the reference (audio_model_builder.py:20); 26 is an additive
+# tiny variant (1 block/stage) for tests and debugging.
+_MODEL_STAGE_DEPTH = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 # Temporal kernel basis per arch/stage (audio_model_builder.py:23-45).
 _TEMPORAL_KERNEL_BASIS = {

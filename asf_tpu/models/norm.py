@@ -123,10 +123,15 @@ def make_norm(cfg, dtype=jnp.float32, axis_name: Optional[str] = None):
     norm_type = cfg.BN.NORM_TYPE
     num_splits = cfg.BN.NUM_SPLITS if norm_type == "sub_batchnorm" else 1
     sync = norm_type == "sync_batchnorm"
+    # Internal hook used by precise-BN (engine): momentum 1.0 makes the
+    # running stats equal the latest batch stats (fvcore update_bn_stats
+    # trick, cf. utils/bn_helper.py:12-74).
+    momentum = cfg.BN.get("MOMENTUM_OVERRIDE", 0.1)
 
     def norm(features, name=None, scale_init=nn.initializers.ones):
         return TorchBatchNorm(
             features=features,
+            momentum=momentum,
             dtype=dtype,
             axis_name=axis_name if sync else None,
             num_splits=num_splits,

@@ -1,0 +1,80 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's distributed runtime
+(/root/reference/audio_slowfast/utils/{multiprocessing,distributed}.py and
+``launch_job``, utils/misc.py:234-262): no process-per-GPU spawn, no NCCL
+process groups. A single JAX controller drives an N-device
+``jax.sharding.Mesh`` with one ``data`` axis; batches are sharded on it, the
+model is replicated, and XLA emits the gradient/metric all-reduces over ICI.
+Multi-host runs initialise via ``jax.distributed.initialize`` and shard the
+record list per host (loader rank/world_size — the DistributedSampler
+equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, num_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh. NUM_GPUS (reference flag) caps local devices;
+    0 or >available means 'use all'."""
+    devices = jax.devices()
+    n = num_devices
+    if n is None and cfg is not None:
+        req = getattr(cfg.TPU, "DATA_PARALLEL", 0) if "TPU" in cfg else 0
+        if not req:
+            req = cfg.NUM_GPUS if cfg.NUM_GPUS and cfg.NUM_GPUS > 1 else 0
+        n = req or len(devices)
+    n = min(n or len(devices), len(devices))
+    return Mesh(np.asarray(devices[:n]), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place batch arrays with the leading axis split over 'data'."""
+    bs = batch_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, np.ndarray) and x.dtype != object and x.ndim >= 1:
+            return jax.device_put(x, bs)
+        return x
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def pad_batch_to(batch_np: dict, target: int):
+    """Pad a ragged final batch to ``target`` rows; returns (batch, n_real).
+
+    TPU needs static batch shapes; callers mask out the padded rows when
+    reducing metrics (the reference simply ran a smaller last batch).
+    """
+    n_real = len(batch_np["index"])
+    if n_real == target:
+        return batch_np, n_real
+
+    def pad(x):
+        if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == n_real:
+            reps = [(0, target - n_real)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, reps, mode="edge")
+        return x
+
+    import jax
+
+    return jax.tree.map(pad, batch_np), n_real

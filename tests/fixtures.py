@@ -110,3 +110,44 @@ def epic_cfg(root, gru=False, pddl=False):
     cfg.TEST.BATCH_SIZE = 4
     cfg.DATA_LOADER.NUM_WORKERS = 2
     return cfg
+
+
+def write_attributes_csv(root, n_attrs=5):
+    import pandas as pd, os
+
+    path = os.path.join(root, "attributes.csv")
+    pd.DataFrame({"attribute": [f"attr_{i}" for i in range(n_attrs)]}).to_csv(path, index=False)
+    return path
+
+
+def tiny_cfg(root, gru=False, pddl=False):
+    """Small end-to-end config: 8 kHz, 64x32 spectrograms, 2-device mesh."""
+    cfg = epic_cfg(root, gru=gru, pddl=pddl)
+    cfg.AUDIO_DATA.SAMPLING_RATE = 8000
+    cfg.AUDIO_DATA.N_FFT = 256
+    cfg.AUDIO_DATA.CLIP_SECS = 0.32
+    cfg.AUDIO_DATA.NUM_FRAMES = 64
+    cfg.AUDIO_DATA.NUM_FREQUENCIES = 32
+    cfg.AUDIO_DATA.SPECTROGRAM_OVERLAP = 0.1
+    cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS = 4
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.MODEL.NUM_CLASSES = [6, 8]  # >=5 for top-5
+    cfg.MODEL.MODEL_NAME = "AudioSlowFastGRU" if gru else "AudioSlowFast"
+    cfg.MODEL.ONLY_ACTION_RECOGNITION = not pddl
+    cfg.RESNET.DEPTH = 26  # tiny 1-block-per-stage variant
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.TRAIN.EVAL_PERIOD = 1
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TEST.BATCH_SIZE = 4
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.LOG_PERIOD = 1
+    cfg.TPU.DATA_PARALLEL = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    if pddl:
+        cfg.MODEL.PDDL_ATTRIBUTES = write_attributes_csv(root)
+    return cfg
