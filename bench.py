@@ -1,0 +1,254 @@
+"""Benchmark: end-to-end audio->logits throughput of the flagship model.
+
+Measures the TPU-native path (on-device GEMM-DFT log-mel + SlowFast-R50 +
+eval head, bf16 compute) in clips/sec/chip at the production VGG-Sound
+geometry, and compares against a PyTorch-CPU re-enactment of the reference
+pipeline (host numpy log-mel exactly as librosa computes it + an equivalent
+torch SlowFast-R50 forward) running on this host.
+
+Prints ONE JSON line:
+  {"metric": "slowfast_r50_clips_per_sec_per_chip", "value": N,
+   "unit": "clips/s", "vs_baseline": ratio_vs_torch_cpu_pipeline}
+
+(The reference repo publishes no benchmark numbers — BASELINE.md — so the
+locally measured torch pipeline is the baseline denominator.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+TIMED_ITERS = 30
+
+
+def _flagship_cfg():
+    from asf_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFast"
+    cfg.MODEL.NUM_CLASSES = [309]
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    return cfg
+
+
+def bench_tpu(cfg):
+    """Times the full waveform->logits forward with a DEVICE-side lax.scan
+    loop and a two-length difference, because host-side timing through the
+    axon relay is dominated by ~50 ms dispatch round-trips. Each iteration
+    depends on the previous one's logits, so nothing can be elided."""
+    import jax
+    import jax.numpy as jnp
+
+    from asf_tpu.engine.steps import make_input_pipeline
+    from asf_tpu.models import build_model
+
+    model = build_model(cfg)
+    pipeline = make_input_pipeline(cfg)
+    clip_samples = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((BATCH, clip_samples)).astype(np.float32) * 0.1)
+    n_valid = jnp.full((BATCH,), clip_samples, jnp.int32)
+
+    paths = pipeline(wave, n_valid, None, train=False)
+    variables = model.init(jax.random.PRNGKey(0), paths, train=False)
+
+    def fwd(w):
+        logits = model.apply(variables, pipeline(w, n_valid, None, train=False), train=False)
+        if isinstance(logits, (tuple, list)):
+            logits = logits[0]
+        return logits
+
+    def chained(w0, iters):
+        def body(w, _):
+            y = fwd(w)
+            # data dependency chain; numerically a no-op perturbation
+            return w + 1e-24 * jnp.mean(y).astype(w.dtype), None
+
+        w_final, _ = jax.lax.scan(body, w0, None, length=iters)
+        return jnp.sum(w_final)
+
+    short = jax.jit(lambda w: chained(w, TIMED_ITERS))
+    long = jax.jit(lambda w: chained(w, 3 * TIMED_ITERS))
+    float(short(wave))  # compile
+    float(long(wave))
+
+    def best_of(f, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(f(wave))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_short = best_of(short)
+    t_long = best_of(long)
+    per_iter = (t_long - t_short) / (2 * TIMED_ITERS)
+    return BATCH / per_iter
+
+
+def bench_torch_cpu_baseline(cfg, max_seconds=90.0):
+    """Reference-style pipeline: host log-mel (librosa semantics) + torch
+    SlowFast-R50 eval forward on CPU. Measures clips/s."""
+    import torch
+    import torch.nn as nn
+
+    from asf_tpu.dsp import reference as dspref
+
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+
+    alpha = cfg.SLOWFAST.ALPHA
+    beta = cfg.SLOWFAST.BETA_INV
+    ratio = cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO
+    fuse_k = cfg.SLOWFAST.FUSION_KERNEL_SZ
+    w = cfg.RESNET.WIDTH_PER_GROUP
+    out_dim_ratio = beta // ratio
+    depths = (3, 4, 6, 3)
+    tk = {"slow": [1, 1, 1, 3, 3], "fast": [5, 3, 3, 3, 3]}
+
+    def bottleneck(cin, cinner, cout, t, stride):
+        return nn.Sequential(
+            nn.Conv2d(cin, cinner, (t, 1), (1, 1), (t // 2, 0), bias=False),
+            nn.BatchNorm2d(cinner), nn.ReLU(),
+            nn.Conv2d(cinner, cinner, (1, 3), (1, stride), (0, 1), bias=False),
+            nn.BatchNorm2d(cinner), nn.ReLU(),
+            nn.Conv2d(cinner, cout, 1, bias=False),
+            nn.BatchNorm2d(cout),
+        )
+
+    class Block(nn.Module):
+        def __init__(self, cin, cinner, cout, t, stride):
+            super().__init__()
+            self.proj = (
+                nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, (1, stride), bias=False), nn.BatchNorm2d(cout)
+                )
+                if (cin != cout or stride != 1)
+                else None
+            )
+            self.body = bottleneck(cin, cinner, cout, t, stride)
+            self.relu = nn.ReLU()
+
+        def forward(self, x):
+            s = x if self.proj is None else self.proj(x)
+            return self.relu(s + self.body(x))
+
+    class Pathway(nn.Module):
+        """One stream; fuse channels appended externally for slow."""
+
+        def __init__(self, kind):
+            super().__init__()
+            div = 1 if kind == "slow" else beta
+            fuse_in = (lambda c: c + c // out_dim_ratio) if kind == "slow" else (lambda c: c)
+            t = tk[kind]
+            self.stem = nn.Sequential(
+                nn.Conv2d(1, w // div, (t[0], 7), (2, 2), (t[0] // 2, 3), bias=False),
+                nn.BatchNorm2d(w // div), nn.ReLU(), nn.MaxPool2d(3, 2, 1),
+            )
+            stages = []
+            cin = fuse_in(w // div)
+            widths = [w * 4, w * 8, w * 16, w * 32]
+            inners = [w, w * 2, w * 4, w * 8]
+            strides = [1, 2, 2, 2]
+            for si in range(4):
+                blocks = []
+                for bi in range(depths[si]):
+                    blocks.append(
+                        Block(
+                            cin if bi == 0 else widths[si] // div,
+                            inners[si] // div,
+                            widths[si] // div,
+                            t[si + 1],
+                            strides[si] if bi == 0 else 1,
+                        )
+                    )
+                stages.append(nn.Sequential(*blocks))
+                cin = fuse_in(widths[si] // div) if si < 3 else widths[si] // div
+            self.stages = nn.ModuleList(stages)
+
+    class SlowFastTorch(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.slow = Pathway("slow")
+            self.fast = Pathway("fast")
+            self.fuses = nn.ModuleList(
+                [
+                    nn.Sequential(
+                        nn.Conv2d(c // beta, c // beta * ratio, (fuse_k, 1), (alpha, 1),
+                                  (fuse_k // 2, 0), bias=False),
+                        nn.BatchNorm2d(c // beta * ratio), nn.ReLU(),
+                    )
+                    for c in [w, w * 4, w * 8, w * 16]
+                ]
+            )
+            self.head_v = nn.Linear(w * 32 + w * 32 // beta, cfg.MODEL.NUM_CLASSES[0])
+
+        def forward(self, slow, fast):
+            import torch as th
+
+            s, f = self.slow.stem(slow), self.fast.stem(fast)
+            s = th.cat([s, self.fuses[0](f)], 1)
+            for i in range(4):
+                s = self.slow.stages[i](s)
+                f = self.fast.stages[i](f)
+                if i < 3:
+                    s = th.cat([s, self.fuses[i + 1](f)], 1)
+            s = s.mean((2, 3))
+            f = f.mean((2, 3))
+            return self.head_v(th.cat([s, f], 1))
+
+    model = SlowFastTorch().eval()
+    sr = cfg.AUDIO_DATA.SAMPLING_RATE
+    clip_samples = int(round(sr * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+    rng = np.random.default_rng(0)
+    batch = min(8, BATCH)
+    waves = rng.standard_normal((batch, clip_samples)).astype(np.float32) * 0.1
+
+    import torch as th
+
+    n_done = 0
+    t0 = time.perf_counter()
+    with th.no_grad():
+        while time.perf_counter() - t0 < max_seconds and n_done < 64:
+            specs = np.stack([
+                dspref.pad_to_num_frames(dspref.log_mel_np(cfg, w_), cfg.AUDIO_DATA.NUM_FRAMES)
+                for w_ in waves
+            ])  # (B, T, F) host DSP, as the reference does in workers
+            x = th.from_numpy(specs)[:, None]  # (B, 1, T, F)
+            slow = x[:, :, :: alpha]
+            model(slow, x)
+            n_done += batch
+    dt = time.perf_counter() - t0
+    return n_done / dt
+
+
+def main():
+    cfg = _flagship_cfg()
+    tpu_clips = bench_tpu(cfg)
+    try:
+        base_clips = bench_torch_cpu_baseline(cfg)
+    except Exception as e:
+        print(f"baseline failed: {e}", file=sys.stderr)
+        base_clips = float("nan")
+    vs = tpu_clips / base_clips if base_clips == base_clips and base_clips > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "slowfast_r50_clips_per_sec_per_chip",
+                "value": round(tpu_clips, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
