@@ -129,7 +129,9 @@ class EpicKitchens:
         """Start sample + number of valid samples for a regular record,
         mirroring pack_audio/_extract_sound_feature case logic."""
         if record.num_audio_samples < self.clip_size:
-            return record.start_audio_sample, record.num_audio_samples
+            # max(0, .) guards degenerate annotations (stop <= start), which
+            # would otherwise produce a negative-length region read.
+            return record.start_audio_sample, max(0, record.num_audio_samples)
         start_idx, _ = get_start_end_idx(
             record.num_audio_samples,
             self.clip_size,

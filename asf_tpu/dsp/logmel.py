@@ -61,12 +61,26 @@ class LogMelParams:
         self.mel_w = mel_filterbank(self.sr, self.n_fft, self.n_mels).T  # (n_freqs, n_mels)
         self.n_freqs = 1 + self.n_fft // 2
 
-        precision = getattr(cfg, "TPU", None)
+        tpu_cfg = getattr(cfg, "TPU", None)
+        prec_name = tpu_cfg.DSP_PRECISION if tpu_cfg is not None else "HIGHEST"
+        # "BFLOAT16"/"DEFAULT" select the fast production path (bf16 GEMM
+        # inputs, fp32 accumulation); "HIGHEST" keeps <1e-4 librosa parity.
+        self.fast = prec_name.upper() in ("BFLOAT16", "BF16", "DEFAULT")
         self.precision = (
-            getattr(jax.lax.Precision, cfg.TPU.DSP_PRECISION, jax.lax.Precision.HIGHEST)
-            if precision is not None
-            else jax.lax.Precision.HIGHEST
+            jax.lax.Precision.DEFAULT if self.fast else jax.lax.Precision.HIGHEST
         )
+
+        self.pallas: Optional[object] = None
+        if tpu_cfg is not None and getattr(tpu_cfg, "USE_PALLAS_DSP", False):
+            from asf_tpu.ops.logmel_pallas import PallasLogMel
+
+            self.pallas = PallasLogMel(
+                self.dft_w,
+                self.mel_w,
+                self.n_fft,
+                self.hop,
+                compute_dtype=jnp.bfloat16 if self.fast else jnp.float32,
+            )
 
 
 def _windowed_dft(
@@ -115,17 +129,20 @@ def log_mel_spectrogram(
       (B, T_out, n_mels) float32.
     """
     wave = wave.astype(jnp.float32)
-    spec = _windowed_dft(
-        wave, jnp.asarray(params.dft_w), params.n_fft, params.hop, params.precision
-    )  # (B, T, 2*n_freqs)
-    n_frames = spec.shape[1]
-    re = spec[..., : params.n_freqs]
-    im = spec[..., params.n_freqs :]
-    mag = jnp.sqrt(re * re + im * im)
+    n_frames = 1 + wave.shape[1] // params.hop
+    if params.pallas is not None:
+        log_mel = params.pallas(wave, n_frames, eps=eps)  # (B, T, n_mels)
+    else:
+        spec = _windowed_dft(
+            wave, jnp.asarray(params.dft_w), params.n_fft, params.hop, params.precision
+        )  # (B, T, 2*n_freqs)
+        re = spec[..., : params.n_freqs]
+        im = spec[..., params.n_freqs :]
+        mag = jnp.sqrt(re * re + im * im)
 
-    mel_w = jnp.asarray(params.mel_w)
-    mel = jnp.einsum("btk,km->btm", mag, mel_w, precision=params.precision)
-    log_mel = jnp.log(mel + eps)  # (B, T, n_mels)
+        mel_w = jnp.asarray(params.mel_w)
+        mel = jnp.einsum("btk,km->btm", mag, mel_w, precision=params.precision)
+        log_mel = jnp.log(mel + eps)  # (B, T, n_mels)
 
     t_out = out_frames if out_frames is not None else max(params.num_frames, n_frames)
 

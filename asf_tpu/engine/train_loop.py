@@ -49,7 +49,8 @@ def check_nan_losses(loss: float):
 
 
 def train_epoch(
-    train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng
+    train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng,
+    scalar_logger=None,
 ):
     multitask = is_multitask(cfg)
     data_size = len(train_loader)
@@ -90,6 +91,10 @@ def train_epoch(
 
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
+        if scalar_logger is not None and cur_iter % cfg.LOG_PERIOD == 0:
+            scalars = {f"Train/{k}": float(v) for k, v in parts.items()}
+            scalars["Train/lr"] = float(lr)
+            scalar_logger.log(scalars, global_step=data_size * cur_epoch + cur_iter)
         train_meter.iter_tic()
 
     train_meter.log_epoch_stats(cur_epoch)
@@ -205,20 +210,16 @@ def train(cfg):
     train_meter = build_train_meter(cfg, len(train_loader))
     val_meter = build_val_meter(cfg, len(val_loader))
 
-    tb_writer = None
-    if cfg.TENSORBOARD.ENABLE:
-        try:
-            from asf_tpu.visualization.tensorboard_vis import TensorboardWriter
+    from .observers import ScalarLogger
 
-            tb_writer = TensorboardWriter(cfg)
-        except Exception as e:  # tensorboard optional
-            logger.warning("TensorBoard disabled: %s", e)
+    scalar_logger = ScalarLogger(cfg)
 
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
         state = train_epoch(
-            train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng
+            train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng,
+            scalar_logger=scalar_logger,
         )
 
         if cfg.BN.USE_PRECISE_STATS:
@@ -236,12 +237,16 @@ def train(cfg):
             is_best, top1 = eval_epoch(
                 val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh
             )
+            if top1:
+                scalar_logger.log(
+                    {f"Val/{k}": float(v) for k, v in top1.items()},
+                    global_step=(cur_epoch + 1) * len(train_loader),
+                )
             if is_best:
                 cu.save_checkpoint(
                     cfg.OUTPUT_DIR, state, cur_epoch, cfg, name="checkpoint_best"
                 )
                 logger.info("Saved best checkpoint at epoch %d: %s", cur_epoch + 1, top1)
 
-    if tb_writer is not None:
-        tb_writer.close()
+    scalar_logger.close()
     return state

@@ -152,7 +152,8 @@ class GRUResNetBasicHead(nn.Module):
         pool_out = []
         for p, x in enumerate(inputs):
             window = tuple(self.pool_size[p])
-            pool_out.append(nn.avg_pool(x, window, strides=(1, 1), padding="VALID"))
+            # stride = window: torch AvgPool2d default (see heads.py note)
+            pool_out.append(nn.avg_pool(x, window, strides=window, padding="VALID"))
         x = jnp.concatenate(pool_out, axis=-1)  # (B*N, 1, 1, F)
 
         if self.dropout_rate > 0.0:

@@ -65,8 +65,11 @@ class ResNetBasicHead(nn.Module):
         pool_out = []
         for p, x in enumerate(inputs):
             window = tuple(self.pool_size[p])
+            # stride = window (torch AvgPool2d default): keeps the pathway
+            # grids aligned for fully-convolutional inference on inputs
+            # longer than NUM_FRAMES (head_helper.py:60-71).
             pool_out.append(
-                nn.avg_pool(x, window, strides=(1, 1), padding="VALID")
+                nn.avg_pool(x, window, strides=window, padding="VALID")
             )
         x = jnp.concatenate(pool_out, axis=-1)  # (B, t', f', C)
 
