@@ -264,6 +264,12 @@ _C.TPU.DATA_PARALLEL = 0
 _C.TPU.PREFETCH_DEPTH = 2
 # Use the Pallas fused log-mel kernel when available (else pure-XLA path).
 _C.TPU.USE_PALLAS_DSP = False
+# When non-empty, capture a jax.profiler trace (view with XProf/TensorBoard)
+# of PROFILE_NUM_ITERS training steps starting at PROFILE_START_ITER of the
+# first epoch. Replaces the reference's fvcore timers + nvidia-smi polling.
+_C.TPU.PROFILE_DIR = ""
+_C.TPU.PROFILE_START_ITER = 10
+_C.TPU.PROFILE_NUM_ITERS = 5
 
 # Hook for downstream users to extend the config tree.
 custom_config.add_custom_config(_C)

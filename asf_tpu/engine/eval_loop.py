@@ -47,7 +47,12 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=Non
             )
             if with_state:
                 x_s = np.asarray(preds[2])[:n_real]
-                lengths = np.asarray(batch["lengths"])[:n_real]
+                if x_s.ndim == 3:  # single-clip state head -> N=1 window
+                    x_s = x_s[:, None]
+                if "lengths" in batch:
+                    lengths = np.asarray(batch["lengths"])[:n_real]
+                else:
+                    lengths = np.ones((x_s.shape[0],), np.int32)
                 labels_state = np.asarray(
                     prepare_state_labels_jnp(
                         jnp.asarray(batch["labels"]["precs"][:n_real]),

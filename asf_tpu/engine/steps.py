@@ -47,7 +47,10 @@ def is_multi_pathway(cfg) -> bool:
 
 
 def has_state_head(cfg) -> bool:
-    return is_gru_model(cfg) and not cfg.MODEL.ONLY_ACTION_RECOGNITION
+    """State projections are selected purely by ONLY_ACTION_RECOGNITION
+    (train_net.py:781-793); applies to both the GRU chain model and the
+    single-clip AudioSlowFast (N=1 window)."""
+    return is_multitask(cfg) and not cfg.MODEL.ONLY_ACTION_RECOGNITION
 
 
 def is_multitask(cfg) -> bool:
@@ -128,6 +131,12 @@ def make_loss_fn(cfg):
             x_v, x_n, x_s = preds
             loss_verb = loss_fun(x_v, labels["verb"])
             loss_noun = loss_fun(x_n, labels["noun"])
+            if x_s.ndim == 3:
+                # single-clip state head: one window holding the
+                # postcondition (prepare_state_labels at N=1)
+                x_s = x_s[:, None]
+            if lengths is None:
+                lengths = jnp.ones((x_s.shape[0],), jnp.int32)
             state_labels = prepare_state_labels_jnp(
                 labels["precs"], labels["posts"], lengths, x_s.shape[1]
             )

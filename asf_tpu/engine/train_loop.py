@@ -55,14 +55,28 @@ def train_epoch(
     multitask = is_multitask(cfg)
     data_size = len(train_loader)
 
+    profile_dir = cfg.TPU.PROFILE_DIR if cur_epoch == 0 else ""
+    prof_start = min(cfg.TPU.PROFILE_START_ITER, max(0, len(train_loader) - 2))
+    prof_n = cfg.TPU.PROFILE_NUM_ITERS
+    tracing = False
+
     train_meter.iter_tic()
     for cur_iter, batch in enumerate(train_loader):
+        if profile_dir and not tracing and cur_iter == prof_start:
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
         metadata = batch.pop("metadata", None)
         batch = shard_batch(batch, mesh)
         train_meter.data_toc()
 
         lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
         state, parts, preds = train_step(state, batch, jnp.float32(lr), rng)
+
+        if tracing and cur_iter >= prof_start + prof_n:
+            jax.block_until_ready(parts["loss"])
+            jax.profiler.stop_trace()
+            logger.info("Saved profiler trace to %s", profile_dir)
+            tracing, profile_dir = False, ""
 
         loss_val = float(parts["loss"])
         check_nan_losses(loss_val)
@@ -96,6 +110,10 @@ def train_epoch(
             scalars["Train/lr"] = float(lr)
             scalar_logger.log(scalars, global_step=data_size * cur_epoch + cur_iter)
         train_meter.iter_tic()
+
+    if tracing:  # epoch shorter than the profiling window
+        jax.profiler.stop_trace()
+        logger.info("Saved profiler trace to %s", profile_dir)
 
     train_meter.log_epoch_stats(cur_epoch)
     train_meter.reset()
@@ -201,6 +219,11 @@ def train(cfg):
         opt_state=replicate_tree(state.opt_state, mesh),
         step=state.step,
     )
+
+    if cfg.LOG_MODEL_INFO:
+        from asf_tpu.utils.misc import log_model_info
+
+        log_model_info(model, state.params, state.batch_stats)
 
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 

@@ -216,14 +216,20 @@ class AudioSlowFast(nn.Module):
         w = cfg.RESNET.WIDTH_PER_GROUP
         beta = cfg.SLOWFAST.BETA_INV
         xs = _slowfast_trunk(cfg, self.dtype, xs, train=train, bn_stats_frozen=bn_stats_frozen)
+        classes = _num_classes(cfg)
         head = ResNetBasicHead(
             dim_in=[w * 32, w * 32 // beta],
-            num_classes=_num_classes(cfg),
+            num_classes=classes,
             pool_size=head_pool_sizes(cfg, _POOL1["slowfast"], 2),
             dropout_rate=cfg.MODEL.DROPOUT_RATE,
             act_func=cfg.MODEL.HEAD_ACT,
             fc_init_std=cfg.MODEL.FC_INIT_STD,
             dtype=self.dtype,
+            with_state=(
+                not cfg.MODEL.ONLY_ACTION_RECOGNITION
+                and isinstance(classes, (list, tuple))
+                and len(classes) > 2
+            ),
             name="head",
         )
         return head(xs, train=train)
@@ -364,7 +370,10 @@ def build_model(cfg):
     name = aliases.get(name, name)
     if name not in MODEL_REGISTRY:
         raise KeyError(f"Model {name} not registered; have {sorted(MODEL_REGISTRY)}")
-    if name == "AudioSlowFastGRU" and not cfg.MODEL.ONLY_ACTION_RECOGNITION:
+    # State projections apply to the GRU model (audio_model_builder.py:371-378)
+    # and to the single-clip AudioSlowFast (the reference ships the head as
+    # state_head_helper.py but never registers it; here it is first-class).
+    if name in ("AudioSlowFast", "AudioSlowFastGRU") and not cfg.MODEL.ONLY_ACTION_RECOGNITION:
         _maybe_append_state_classes(cfg)
     return MODEL_REGISTRY[name](cfg=StaticCfg(cfg), dtype=compute_dtype(cfg))
 

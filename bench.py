@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 BATCH = 64
-TIMED_ITERS = 30
+TIMED_ITERS = 10
 
 
 def _flagship_cfg():
@@ -35,6 +35,10 @@ def _flagship_cfg():
     cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
     cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # Production DSP path: fused Pallas kernel, bf16 GEMMs w/ f32 accumulation
+    # (accuracy-parity eval runs use DSP_PRECISION=HIGHEST instead).
+    cfg.TPU.USE_PALLAS_DSP = True
+    cfg.TPU.DSP_PRECISION = "BFLOAT16"
     return cfg
 
 

@@ -75,3 +75,22 @@ def test_auto_resume(epic_root, tmp_path):
     cfg2.SOLVER.MAX_EPOCH = 1
     state = run_train(cfg2)
     assert int(state.step) == 0  # no new steps: start_epoch == MAX_EPOCH
+
+
+def test_train_single_clip_state(epic_root, tmp_path):
+    """Non-GRU state head (reference state_head_helper.py:11-143, never
+    registered there): AudioSlowFast + EpicKitchensWithPDDL trains with the
+    3-way verb/noun/state loss at N=1 windows."""
+    from asf_tpu.engine import train as run_train
+
+    cfg = tiny_cfg(epic_root, gru=False, pddl=True)
+    cfg.OUTPUT_DIR = str(tmp_path / "out_state")
+    cfg.TEST.ENABLE = False
+
+    state = run_train(cfg)
+    assert int(state.step) == 1
+    assert cfg.MODEL.NUM_CLASSES == [6, 8, 5]
+    # state projections exist in the head params
+    head = state.params["head"]
+    for k in ("projection_min_1", "projection_0", "projection_1"):
+        assert k in head, sorted(head)
