@@ -258,8 +258,13 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.DSP_PRECISION = "HIGHEST"
 # Run the log-mel front end on device inside the jitted step.
 _C.TPU.ON_DEVICE_DSP = True
-# Data-parallel axis size (0 -> all devices). Mesh is (data,).
+# Data-parallel axis size (0 -> all devices). Mesh is (data,) or
+# (data, model) when MODEL_PARALLEL > 1.
 _C.TPU.DATA_PARALLEL = 0
+# Tensor-parallel axis size: shards wide conv/dense output channels over a
+# 'model' mesh axis (GSPMD inserts the collectives). 1 = pure data parallel.
+# The reference has no TP at all (SURVEY §2.6) — this is a TPU-native extra.
+_C.TPU.MODEL_PARALLEL = 1
 # Number of host prefetch batches kept in flight to HBM.
 _C.TPU.PREFETCH_DEPTH = 2
 # Use the Pallas fused log-mel kernel when available (else pure-XLA path).

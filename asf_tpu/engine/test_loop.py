@@ -20,7 +20,7 @@ import numpy as np
 from asf_tpu.checkpoint import manager as cu
 from asf_tpu.data.loader import construct_loader
 from asf_tpu.models import build_model
-from asf_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate_tree, shard_batch
+from asf_tpu.parallel.mesh import make_mesh, pad_batch_to, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils.logging import get_logger, setup_logging
 from . import metrics
 from .meters import EPICTestMeter, EPICTestMeterSlide, TestMeter
@@ -107,7 +107,7 @@ def test(cfg):
 
     state = init_state(cfg, model, _Lazy(), rng, example)
     state = TrainState(
-        params=replicate_tree(state.params, mesh),
+        params=param_shardings(state.params, mesh),
         batch_stats=replicate_tree(state.batch_stats, mesh),
         opt_state=state.opt_state,
         step=state.step,

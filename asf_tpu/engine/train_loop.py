@@ -22,7 +22,7 @@ import numpy as np
 from asf_tpu.checkpoint import manager as cu
 from asf_tpu.data.loader import construct_loader, shuffle_dataset
 from asf_tpu.models import build_model
-from asf_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from asf_tpu.parallel.mesh import make_mesh, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils import lr_policy
 from asf_tpu.utils.logging import get_logger, setup_logging
 from . import metrics
@@ -177,7 +177,9 @@ def train(cfg):
     logger.info("Train with config:\n%s", cfg.dump())
 
     mesh = make_mesh(cfg)
-    logger.info("Mesh: %s devices on axis 'data'", mesh.devices.size)
+    logger.info(
+        "Mesh: %d devices, axes %s", mesh.devices.size, dict(mesh.shape)
+    )
 
     model = build_model(cfg)
 
@@ -214,9 +216,9 @@ def train(cfg):
     tx = lazy.tx
 
     state = TrainState(
-        params=replicate_tree(state.params, mesh),
+        params=param_shardings(state.params, mesh),
         batch_stats=replicate_tree(state.batch_stats, mesh),
-        opt_state=replicate_tree(state.opt_state, mesh),
+        opt_state=param_shardings(state.opt_state, mesh),
         step=state.step,
     )
 

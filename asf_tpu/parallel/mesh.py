@@ -21,17 +21,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(cfg=None, num_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh. NUM_GPUS (reference flag) caps local devices;
-    0 or >available means 'use all'."""
+    """Data-parallel mesh, optionally 2-D (data, model) for tensor
+    parallelism. NUM_GPUS (reference flag) caps local devices; 0 or
+    >available means 'use all'."""
     devices = jax.devices()
     n = num_devices
+    mp = 1
+    if cfg is not None and "TPU" in cfg:
+        mp = max(1, getattr(cfg.TPU, "MODEL_PARALLEL", 1))
     if n is None and cfg is not None:
         req = getattr(cfg.TPU, "DATA_PARALLEL", 0) if "TPU" in cfg else 0
         if not req:
             req = cfg.NUM_GPUS if cfg.NUM_GPUS and cfg.NUM_GPUS > 1 else 0
-        n = req or len(devices)
+        n = (req * mp) if req else len(devices)
     n = min(n or len(devices), len(devices))
+    if mp > 1:
+        assert n % mp == 0, f"{n} devices not divisible by MODEL_PARALLEL={mp}"
+        grid = np.asarray(devices[:n]).reshape(n // mp, mp)
+        return Mesh(grid, ("data", "model"))
     return Mesh(np.asarray(devices[:n]), ("data",))
+
+
+def param_shardings(tree, mesh: Mesh, min_dim: int = 128):
+    """Place a param-like tree: wide trailing (output-channel) axes shard on
+    'model' when present, everything else replicates. GSPMD propagates the
+    activation shardings and inserts the all-gathers/reduce-scatters.
+    """
+    if "model" not in mesh.axis_names:
+        return replicate_tree(tree, mesh)
+    mp = mesh.shape["model"]
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        if (
+            len(shape) >= 2
+            and shape[-1] % mp == 0
+            and shape[-1] >= min_dim * mp
+        ):
+            spec = P(*([None] * (len(shape) - 1) + ["model"]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -5,9 +5,36 @@ reference ``launch_job`` wrapper (utils/misc.py:234-262) — on TPU there is no
 process spawn: one controller drives the whole mesh.
 """
 
-from asf_tpu.engine.test_loop import test
-from asf_tpu.engine.train_loop import train
-from asf_tpu.utils.parser import load_config, parse_args
+import os
+
+
+def _apply_platform_env():
+    """Honour ASF_PLATFORM / ASF_CPU_DEVICES before any backend init.
+
+    Site plugins may rewrite JAX_PLATFORMS at interpreter startup, so a
+    plain env var cannot reliably select the CPU backend for debugging;
+    these are read here, ahead of the first device query.
+    """
+    platform = os.environ.get("ASF_PLATFORM")
+    n_cpu = os.environ.get("ASF_CPU_DEVICES")
+    if n_cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_cpu}"
+            ).strip()
+        platform = platform or "cpu"
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+_apply_platform_env()
+
+from asf_tpu.engine.test_loop import test  # noqa: E402
+from asf_tpu.engine.train_loop import train  # noqa: E402
+from asf_tpu.utils.parser import load_config, parse_args  # noqa: E402
 
 
 def launch_job(cfg, init_method=None, func=None):

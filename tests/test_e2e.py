@@ -94,3 +94,61 @@ def test_train_single_clip_state(epic_root, tmp_path):
     head = state.params["head"]
     for k in ("projection_min_1", "projection_0", "projection_1"):
         assert k in head, sorted(head)
+
+
+def test_train_and_test_vggsound(tmp_path):
+    """Single-task VGG-Sound path: wav loader -> single-head model -> train ->
+    TestMeter ensembling + mAP/AUC/d' stats (vggsound_metrics.py parity)."""
+    from fixtures import make_vgg_fixture, tiny_cfg
+
+    root = str(tmp_path / "vgg")
+    audio_dir, pkl = make_vgg_fixture(root, sr=8000, n_clips=6, clip_secs=0.6)
+
+    cfg = tiny_cfg(root)  # reuse tiny geometry, then re-point at VGG-Sound
+    cfg.TRAIN.DATASET = "Vggsound"
+    cfg.TEST.DATASET = "Vggsound"
+    cfg.VGGSOUND.AUDIO_DATA_DIR = audio_dir
+    cfg.VGGSOUND.ANNOTATIONS_DIR = root
+    cfg.VGGSOUND.TRAIN_LIST = "test.pkl"
+    cfg.VGGSOUND.VAL_LIST = "test.pkl"
+    cfg.VGGSOUND.TEST_LIST = "test.pkl"
+    cfg.MODEL.NUM_CLASSES = [6]
+    cfg.OUTPUT_DIR = str(tmp_path / "out_vgg")
+    cfg.TEST.ENABLE = True
+
+    from asf_tpu.engine import test as run_test
+    from asf_tpu.engine import train as run_train
+
+    state = run_train(cfg)
+    assert int(state.step) == 1
+
+    preds, labels = run_test(cfg)
+    assert preds.shape == (6, 6)  # 6 clips ensembled over 2 views
+    assert np.all(preds >= 0)  # eval softmax then ensemble-sum
+
+
+def test_train_tensor_parallel_mesh(epic_root, tmp_path):
+    """DP x TP: 2x2 (data, model) mesh — wide conv/dense kernels shard on
+    'model', GSPMD inserts the collectives (reference has no TP; SURVEY §2.6)."""
+    from asf_tpu.engine import train as run_train
+    from asf_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg(epic_root)
+    cfg.OUTPUT_DIR = str(tmp_path / "out_tp")
+    cfg.TEST.ENABLE = False
+    cfg.TPU.DATA_PARALLEL = 2
+    cfg.TPU.MODEL_PARALLEL = 2
+
+    mesh = make_mesh(cfg)
+    assert mesh.axis_names == ("data", "model") and mesh.devices.shape == (2, 2)
+
+    state = run_train(cfg)
+    assert int(state.step) == 1
+    # a wide kernel actually sharded over 'model'
+    import jax
+    leaves = [x for x in jax.tree.leaves(state.params) if hasattr(x, "sharding")]
+    assert any(
+        "model" in (x.sharding.spec[-1] or "") if x.sharding.spec else False
+        for x in leaves
+        if getattr(x, "ndim", 0) >= 2
+    ), "no parameter ended up model-sharded"
