@@ -33,7 +33,6 @@ from .steps import (
     TrainState,
     has_state_head,
     init_state,
-    is_gru_model,
     is_multitask,
     make_eval_step,
     make_train_step,

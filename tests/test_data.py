@@ -6,7 +6,6 @@ in /root/reference) but against synthesized HDF5/wav/pickle fixtures.
 """
 
 import numpy as np
-import pytest
 
 from fixtures import epic_cfg, make_epic_fixture, make_vgg_fixture
 from asf_tpu.data.build import build_dataset

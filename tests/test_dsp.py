@@ -9,7 +9,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from asf_tpu.config import get_cfg
 from asf_tpu.dsp import mel as melmod

@@ -152,3 +152,28 @@ def test_train_tensor_parallel_mesh(epic_root, tmp_path):
         for x in leaves
         if getattr(x, "ndim", 0) >= 2
     ), "no parameter ended up model-sharded"
+
+
+def test_slide_test_engine(epic_root, tmp_path):
+    """Sliding-window evaluation through the full test engine: slide dataset
+    -> eval forward -> EPICTestMeterSlide window-weighted multi-label
+    accuracy (reference perform_test_slide, tools/test_net.py:206-383)."""
+    from asf_tpu.engine import test as run_test
+
+    cfg = tiny_cfg(epic_root)
+    cfg.OUTPUT_DIR = str(tmp_path / "out_slide")
+    cfg.TEST.ENABLE = True
+    cfg.TEST.DATASET = "EpicKitchensSlide"
+    cfg.TEST.SLIDE.ENABLE = True
+    cfg.TEST.SLIDE.WIN_SIZE = 0.32
+    cfg.TEST.SLIDE.HOP_SIZE = 0.32
+    cfg.TEST.SLIDE.LABEL_FRAME = 0.5
+    cfg.TEST.SLIDE.INSIDE_ACTION_BOUNDS = False
+    cfg.TEST.SLIDE.PER_ACTION_INSTANCE = False
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+
+    results = run_test(cfg)
+    assert results is not None
+    (verb_p, noun_p), (verb_l, noun_l), _ = results
+    assert verb_p.shape[1] == 6 and noun_p.shape[1] == 8
+    assert verb_l.shape[1] == 4  # MAX_OVERLAP multi-label slots
