@@ -38,7 +38,21 @@ from asf_tpu.utils.parser import load_config, parse_args  # noqa: E402
 
 
 def launch_job(cfg, init_method=None, func=None):
-    """Single-controller equivalent of the reference launch_job."""
+    """Single-controller equivalent of the reference launch_job
+    (utils/misc.py:234-262): no per-device process spawn. Multi-host
+    (NUM_SHARDS > 1) initialises the JAX distributed runtime — the
+    counterpart of the reference's torch.distributed init_process_group —
+    reusing the same --init_method tcp://host:port and SHARD_ID flags.
+    """
+    if cfg.NUM_SHARDS > 1:
+        import jax
+
+        coordinator = (init_method or "tcp://localhost:9999").replace("tcp://", "")
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=cfg.NUM_SHARDS,
+            process_id=cfg.SHARD_ID,
+        )
     return func(cfg)
 
 

@@ -62,3 +62,27 @@ def test_clone_isolation_and_dump():
     assert cfg.TRAIN.BATCH_SIZE == 64
     dumped = cfg.dump()
     assert "BATCH_SIZE" in dumped
+
+
+def test_launch_job_multihost_init(monkeypatch):
+    """NUM_SHARDS>1 initialises the JAX distributed runtime with the
+    reference's --init_method tcp://host:port flag semantics."""
+    from asf_tpu.config import get_cfg
+    from asf_tpu.tools import run_net
+
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        calls.update(
+            addr=coordinator_address, n=num_processes, pid=process_id
+        )
+
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    cfg = get_cfg()
+    cfg.NUM_SHARDS = 4
+    cfg.SHARD_ID = 2
+    out = run_net.launch_job(cfg, "tcp://host:1234", lambda c: "ran")
+    assert out == "ran"
+    assert calls == {"addr": "host:1234", "n": 4, "pid": 2}
