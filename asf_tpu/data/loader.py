@@ -179,6 +179,20 @@ def shuffle_dataset(loader: AsfLoader, cur_epoch: int):
     loader.set_epoch(cur_epoch)
 
 
+def iter_prefetched(loader, cfg, mesh=None):
+    """Iterate ``loader`` with PREFETCH_DEPTH batches uploaded ahead to HBM
+    (batch axis sharded over the mesh's 'data' axis). Depth 0 disables."""
+    depth = int(getattr(cfg.TPU, "PREFETCH_DEPTH", 0)) if "TPU" in cfg else 0
+    if depth <= 0:
+        return iter(loader)
+    sharding = None
+    if mesh is not None:
+        from asf_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    return DevicePrefetcher(iter(loader), depth=depth, sharding=sharding)
+
+
 class DevicePrefetcher:
     """Wrap a batch iterator; keeps up to ``depth`` batches uploaded ahead.
 

@@ -26,6 +26,25 @@ from asf_tpu.utils.logging import log_json_stats
 from . import metrics
 
 
+def mem_stats() -> Dict[str, str]:
+    """Memory gauges merged into iter stats — parity with the reference's
+    gpu_mem/RAM fields (utils/meters.py:329-344; misc.py:50-72), with HBM
+    standing in for gpu_mem."""
+    out: Dict[str, str] = {}
+    try:
+        from asf_tpu.utils.misc import cpu_mem_usage, tpu_mem_usage
+
+        used, total = cpu_mem_usage()
+        out["RAM"] = f"{used:.2f}/{total:.2f} GB"
+        hbm = tpu_mem_usage()
+        if hbm:
+            first = next(iter(hbm.values()))
+            out["hbm"] = f"{first['bytes_in_use_gb']:.2f}/{first['bytes_limit_gb']:.2f} GB"
+    except Exception:
+        pass
+    return out
+
+
 class Timer:
     def __init__(self):
         self.reset()
@@ -152,6 +171,7 @@ class TrainMeter(_BaseEpochMeter):
             "top5_err": self.mb_top5_err.get_win_median(),
             "loss": self.loss.get_win_median(),
             "lr": self.lr,
+            **mem_stats(),
         }
         log_json_stats(stats)
 
@@ -285,6 +305,7 @@ class EPICTrainMeter(_BaseEpochMeter):
             stats[f"{k}_acc"] = m.get_win_median()
         for k, m in self.losses.items():
             stats[k] = m.get_win_median()
+        stats.update(mem_stats())
         log_json_stats(stats)
 
     def log_epoch_stats(self, cur_epoch):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from asf_tpu.checkpoint import manager as cu
-from asf_tpu.data.loader import construct_loader, shuffle_dataset
+from asf_tpu.data.loader import construct_loader, iter_prefetched, shuffle_dataset
 from asf_tpu.models import build_model
 from asf_tpu.parallel.mesh import make_mesh, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils import lr_policy
@@ -60,7 +60,7 @@ def train_epoch(
     tracing = False
 
     train_meter.iter_tic()
-    for cur_iter, batch in enumerate(train_loader):
+    for cur_iter, batch in enumerate(iter_prefetched(train_loader, cfg, mesh)):
         if profile_dir and not tracing and cur_iter == prof_start:
             jax.profiler.start_trace(profile_dir)
             tracing = True
