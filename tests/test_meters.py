@@ -1,0 +1,64 @@
+"""Unit tests of the multi-view ensembling meters (reference
+utils/meters.py:1654-1753 and 98-114): clip scores scatter into per-audio
+slots by ``clip_id // num_clips`` and ensemble by sum or max."""
+
+import numpy as np
+import pytest
+
+from asf_tpu.engine.meters import EPICTestMeter, TestMeter
+
+
+def _two_view_scores():
+    # audio 0: clips 0,1 ; audio 1: clips 2,3
+    verb = np.array(
+        [[0.7, 0.2, 0.1], [0.6, 0.3, 0.1], [0.1, 0.1, 0.8], [0.2, 0.5, 0.3]]
+    )
+    noun = np.array(
+        [[0.9, 0.1], [0.8, 0.2], [0.3, 0.7], [0.4, 0.6]]
+    )
+    verb_l = np.array([0, 0, 2, 2])
+    noun_l = np.array([0, 0, 1, 1])
+    clip_ids = np.array([0, 1, 2, 3])
+    return verb, noun, verb_l, noun_l, clip_ids
+
+
+@pytest.mark.parametrize("method", ["sum", "max"])
+def test_epic_test_meter_ensemble(method):
+    verb, noun, verb_l, noun_l, clip_ids = _two_view_scores()
+    m = EPICTestMeter(
+        num_audios=2, num_clips=2, num_cls=(3, 2), overall_iters=1,
+        ensemble_method=method,
+    )
+    m.update_stats((verb, noun), (verb_l, noun_l), None, clip_ids)
+    (vp, np_), (vl, nl), _ = m.finalize_metrics(ks=(1,))
+
+    if method == "sum":
+        np.testing.assert_allclose(vp[0], verb[0] + verb[1])
+        np.testing.assert_allclose(np_[1], noun[2] + noun[3])
+    else:
+        np.testing.assert_allclose(vp[0], np.maximum(verb[0], verb[1]))
+        np.testing.assert_allclose(np_[1], np.maximum(noun[2], noun[3]))
+    assert list(vl) == [0, 2] and list(nl) == [0, 1]
+    assert m.stats["verb_top1_acc"] == "100.00"
+    assert m.stats["noun_top1_acc"] == "100.00"
+    assert m.stats["action_top1_acc"] == "100.00"
+
+
+def test_epic_test_meter_label_consistency_assert():
+    verb, noun, verb_l, noun_l, clip_ids = _two_view_scores()
+    verb_l = verb_l.copy()
+    verb_l[1] = 1  # clip 1 disagrees with clip 0 about audio 0's label
+    m = EPICTestMeter(2, 2, (3, 2), 1)
+    with pytest.raises(AssertionError):
+        m.update_stats((verb, noun), (verb_l, noun_l), None, clip_ids)
+
+
+def test_single_task_test_meter():
+    scores = np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4], [0.3, 0.7]])
+    labels = np.array([0, 0, 1, 1])
+    m = TestMeter(num_audios=2, num_clips=2, num_cls=2, overall_iters=1)
+    m.update_stats(scores, labels, np.array([0, 1, 2, 3]))
+    preds, out_labels = m.finalize_metrics(ks=(1,))
+    np.testing.assert_allclose(preds[0], scores[0] + scores[1])
+    np.testing.assert_allclose(preds[1], scores[2] + scores[3])
+    assert list(out_labels) == [0, 1]
