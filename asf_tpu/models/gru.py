@@ -105,12 +105,7 @@ class TorchGRU(nn.Module):
                     h_new = ((1.0 - z) * n_ + z * h.astype(self.dtype)).astype(jnp.float32)
                     return h_new, h_new
 
-                # unroll=True: the window axis is short (<= MAX_NB_SPECTROGRAMS,
-                # 20) and static; unrolling removes the scan-in-vjp loop
-                # structures that blow up AOT compile times on the TPU relay.
-                _, ys = jax.lax.scan(
-                    step, h_init, jnp.swapaxes(gx, 0, 1), unroll=True
-                )  # (N, B, H)
+                _, ys = jax.lax.scan(step, h_init, jnp.swapaxes(gx, 0, 1))  # (N, B, H)
                 ys = jnp.swapaxes(ys, 0, 1)  # (B, N, H)
                 if direction == 1:
                     ys = _reverse_within_length(ys, lengths)

@@ -32,6 +32,10 @@ def _apply_platform_env():
 
 _apply_platform_env()
 
+from asf_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from asf_tpu.engine.test_loop import test  # noqa: E402
 from asf_tpu.engine.train_loop import train  # noqa: E402
 from asf_tpu.utils.parser import load_config, parse_args  # noqa: E402

@@ -20,6 +20,10 @@ import time
 
 import numpy as np
 
+from asf_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
 BATCH = 64
 TIMED_ITERS = 10
 
