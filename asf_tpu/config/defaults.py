@@ -269,6 +269,10 @@ _C.TPU.MODEL_PARALLEL = 1
 _C.TPU.PREFETCH_DEPTH = 2
 # Use the Pallas fused log-mel kernel when available (else pure-XLA path).
 _C.TPU.USE_PALLAS_DSP = False
+# Pad every GRU batch to MAX_NB_SPECTROGRAMS windows instead of power-of-two
+# buckets: wastes compute on short chains but bounds train-step recompiles
+# to one (each bucket shape is a separate multi-minute TPU compile).
+_C.TPU.GRU_SINGLE_BUCKET = False
 # When non-empty, capture a jax.profiler trace (view with XProf/TensorBoard)
 # of PROFILE_NUM_ITERS training steps starting at PROFILE_START_ITER of the
 # first epoch. Replaces the reference's fvcore timers + nvidia-smi polling.

@@ -39,7 +39,8 @@ def bucket_windows(n: int, max_n: int) -> int:
     return min(b, max_n)
 
 
-def collate(items: List[Dict[str, Any]], max_windows: Optional[int] = None) -> Dict[str, Any]:
+def collate(items: List[Dict[str, Any]], max_windows: Optional[int] = None,
+            single_bucket: bool = False) -> Dict[str, Any]:
     """Stack item dicts into batch arrays.
 
     Regular items -> waveform (B, S); GRU items -> waveform (B, Nb, S) with
@@ -53,6 +54,11 @@ def collate(items: List[Dict[str, Any]], max_windows: Optional[int] = None) -> D
     if first["waveform"].ndim == 2:  # GRU chain items (N_i, S)
         n_max = max(int(it["length"]) for it in items)
         nb = bucket_windows(n_max, max_windows or n_max)
+        if single_bucket and max_windows:
+            # one static window shape for the whole run: wastes compute on
+            # short chains but bounds jit recompiles to exactly one (each
+            # bucket is a distinct train-step compile, minutes each on TPU)
+            nb = max_windows
         s = first["waveform"].shape[1]
         waves = np.zeros((len(items), nb, s), np.float32)
         n_valid = np.zeros((len(items), nb), np.int32)
@@ -100,6 +106,7 @@ class AsfLoader:
         max_windows: Optional[int] = None,
         rank: int = 0,
         world_size: int = 1,
+        single_bucket: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -111,6 +118,7 @@ class AsfLoader:
         self.max_windows = max_windows
         self.rank = rank
         self.world_size = world_size
+        self.single_bucket = single_bucket
 
     def set_epoch(self, epoch: int):
         """Parity with DistributedSampler.set_epoch (loader.py:120-134)."""
@@ -141,7 +149,7 @@ class AsfLoader:
                 if len(chunk) == 0:
                     break
                 items = list(pool.map(self.dataset.__getitem__, chunk))
-                yield collate(items, self.max_windows)
+                yield collate(items, self.max_windows, self.single_bucket)
 
 
 def construct_loader(cfg, split: str) -> AsfLoader:
@@ -171,6 +179,7 @@ def construct_loader(cfg, split: str) -> AsfLoader:
         max_windows=cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS,
         rank=cfg.SHARD_ID,
         world_size=cfg.NUM_SHARDS,
+        single_bucket=bool(cfg.TPU.GRU_SINGLE_BUCKET) if "TPU" in cfg else False,
     )
 
 
