@@ -94,6 +94,9 @@ _C.MODEL.DROPOUT_RATE = 0.5
 _C.MODEL.DROPCONNECT_RATE = 0.0
 _C.MODEL.FC_INIT_STD = 0.01
 _C.MODEL.HEAD_ACT = "softmax"
+# "softmax" reproduces the reference's own odd default
+# (config/defaults.py:194); only values ending in ".csv" activate the
+# state-class append (see models/builders._maybe_append_state_classes).
 _C.MODEL.PDDL_ATTRIBUTES = "softmax"
 
 # ---------------------------------------------------------------------------

@@ -17,10 +17,20 @@ from .meters import EPICValMeter, ValMeter
 from .steps import has_state_head, is_multitask, prepare_state_labels_jnp
 
 
-def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=None):
+def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=None,
+               scalar_logger=None):
     multitask = is_multitask(cfg)
     with_state = has_state_head(cfg)
     batch_size = val_loader.batch_size
+    # Eval-time confusion-matrix / top-k histogram plots
+    # (tensorboard_vis.plot_eval parity, visualization/tensorboard_vis.py:107-190)
+    collect_plots = bool(
+        cfg.TENSORBOARD.ENABLE
+        and (cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE or cfg.TENSORBOARD.HISTOGRAM.ENABLE)
+        and scalar_logger is not None
+        and scalar_logger.tb is not None
+    )
+    all_preds, all_labels = [], []
 
     val_meter.iter_tic()
     for cur_iter, batch in enumerate(val_loader):
@@ -70,9 +80,38 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=Non
             k1, k5 = metrics.topk_accuracies(scores, labels, (1, 5))
             val_meter.update_stats(100.0 - float(k1), 100.0 - float(k5), n_real)
 
+        if collect_plots:
+            if multitask:
+                all_preds.append(np.asarray(preds[0])[:n_real])  # verb scores
+                all_labels.append(np.asarray(batch["labels"]["verb"][:n_real]))
+            else:
+                all_preds.append(np.asarray(preds)[:n_real])
+                all_labels.append(np.asarray(batch["labels"]["class_id"][:n_real]))
+
         val_meter.iter_toc()
         val_meter.log_iter_stats(cur_epoch, cur_iter)
         val_meter.iter_tic()
+
+    if collect_plots and all_preds:
+        preds_np = np.concatenate(all_preds)
+        labels_np = np.concatenate(all_labels)
+        n_cls = preds_np.shape[-1]
+        names = None
+        if cfg.TENSORBOARD.CLASS_NAMES_PATH:
+            from asf_tpu.utils.misc import get_class_names
+
+            names, _, _ = get_class_names(cfg.TENSORBOARD.CLASS_NAMES_PATH)
+        if cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE:
+            scalar_logger.tb.add_confusion_matrix(
+                preds_np, labels_np, num_classes=n_cls,
+                global_step=cur_epoch, class_names=names,
+            )
+        if cfg.TENSORBOARD.HISTOGRAM.ENABLE:
+            scalar_logger.tb.add_topk_histograms(
+                preds_np, labels_np,
+                k=cfg.TENSORBOARD.HISTOGRAM.TOPK,
+                global_step=cur_epoch, class_names=names,
+            )
 
     is_best, top1 = val_meter.log_epoch_stats(cur_epoch)
     val_meter.reset()

@@ -259,7 +259,8 @@ def train(cfg):
             cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
         ):
             is_best, top1 = eval_epoch(
-                val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh
+                val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh,
+                scalar_logger=scalar_logger,
             )
             if top1:
                 scalar_logger.log(

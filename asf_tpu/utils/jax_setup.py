@@ -14,6 +14,13 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/asf_tpu_jax")
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    # CPU-backend AOT cache entries embed machine features and XLA warns of
+    # possible SIGILL when reloaded; the cache only pays off for the slow
+    # TPU compiles anyway, so skip it when a CPU backend is forced.
+    for var in ("ASF_PLATFORM", "JAX_PLATFORMS"):
+        if "cpu" in os.environ.get(var, "").lower():
+            return
+
     import jax
 
     cache_dir = (

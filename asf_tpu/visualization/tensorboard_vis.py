@@ -41,6 +41,28 @@ class TensorboardWriter:
         fig = plot_confusion_matrix(cm, class_names=class_names)
         self.writer.add_figure(tag=tag, figure=fig, global_step=global_step)
 
+    def add_topk_histograms(self, preds, labels, k=10, global_step=None,
+                            class_names=None):
+        """Per-class top-k score histograms (plot_hist_2d parity,
+        visualization/tensorboard_vis.py:193-248 — rendered as figures)."""
+        from .plots import plot_topk_histogram
+        import numpy as np
+
+        preds = np.asarray(preds)
+        labels = np.asarray(labels)
+        for cls in np.unique(labels):
+            mask = labels == cls
+            mean_scores = preds[mask].mean(axis=0)
+            tag = (
+                f"Val/topk_hist/{class_names[int(cls)]}"
+                if class_names
+                else f"Val/topk_hist/class_{int(cls)}"
+            )
+            fig = plot_topk_histogram(
+                tag, np.sort(mean_scores)[::-1][:k], k=k, class_names=None
+            )
+            self.writer.add_figure(tag=tag, figure=fig, global_step=global_step)
+
     def flush(self):
         self.writer.flush()
 
