@@ -195,3 +195,19 @@ def vggsound_stats(preds, labels):
         "AUC": m_auc,
         "d_prime": d_prime(m_auc) if 0.0 < m_auc < 1.0 else 0.0,
     }
+
+
+def get_map(preds, labels):
+    """Multi-label mAP (parity with utils/meters.py:1932-1956): drop classes
+    with no positives, then macro-average per-class average precision."""
+    from sklearn.metrics import average_precision_score
+
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    keep = ~np.all(labels == 0, axis=0)
+    preds, labels = preds[:, keep], labels[:, keep]
+    try:
+        aps = average_precision_score(labels, preds, average=None)
+    except ValueError:
+        return 0.0
+    return float(np.mean(aps))

@@ -62,3 +62,14 @@ def test_single_task_test_meter():
     np.testing.assert_allclose(preds[0], scores[0] + scores[1])
     np.testing.assert_allclose(preds[1], scores[2] + scores[3])
     assert list(out_labels) == [0, 1]
+
+
+def test_multilabel_map():
+    from asf_tpu.engine import metrics
+
+    labels = np.array([[1, 0, 0], [0, 1, 0], [1, 1, 0]])  # class 2 never positive
+    perfect = labels.astype(np.float64)
+    assert metrics.get_map(perfect, labels) == 1.0
+    # anti-correlated scores -> low mAP; empty class excluded either way
+    bad = 1.0 - perfect
+    assert metrics.get_map(bad, labels) < 0.8
