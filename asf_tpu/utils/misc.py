@@ -110,3 +110,13 @@ def get_class_names(path: str, parent_path: str = "", subset_path: str = ""):
             ]
 
     return class_names, class_parent, subset_ids
+
+
+def discretize(x, low_t: float = -0.5, high_t: float = 0.5,
+               low: float = -1.0, high: float = 1.0):
+    """Threshold values to {low, 0, high}
+    (parity with utils/discretize.py:4-41; used by inspection tooling)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    return jnp.where(x < low_t, low, jnp.where(x > high_t, high, 0.0))

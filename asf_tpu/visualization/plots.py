@@ -71,3 +71,26 @@ def plot_spectrogram(spec, sr=24000, hop=120, figsize=(10, 4)):
     plt.colorbar(label="log-mel")
     plt.tight_layout()
     return fig
+
+
+def plot_waveform(waveform, sample_rate, title="Waveform", figsize=(10, 4)):
+    """Time-domain waveform figure (parity with src/plot.py:8-42)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    waveform = np.atleast_2d(np.asarray(waveform))
+    num_channels, num_frames = waveform.shape
+    time_axis = np.arange(num_frames) / sample_rate
+
+    fig, axes = plt.subplots(num_channels, 1, figsize=figsize, squeeze=False)
+    for c in range(num_channels):
+        ax = axes[c][0]
+        ax.plot(time_axis, waveform[c], linewidth=1)
+        ax.grid(True)
+        if num_channels > 1:
+            ax.set_ylabel(f"Channel {c + 1}")
+    fig.suptitle(title)
+    return fig
