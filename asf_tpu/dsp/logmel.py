@@ -72,15 +72,23 @@ class LogMelParams:
 
         self.pallas: Optional[object] = None
         if tpu_cfg is not None and getattr(tpu_cfg, "USE_PALLAS_DSP", False):
-            from asf_tpu.ops.logmel_pallas import PallasLogMel
+            if self.n_fft % 128 == 0:
+                from asf_tpu.ops.logmel_pallas import PallasLogMel
 
-            self.pallas = PallasLogMel(
-                self.dft_w,
-                self.mel_w,
-                self.n_fft,
-                self.hop,
-                compute_dtype=jnp.bfloat16 if self.fast else jnp.float32,
-            )
+                self.pallas = PallasLogMel(
+                    self.dft_w,
+                    self.mel_w,
+                    self.n_fft,
+                    self.hop,
+                    compute_dtype=jnp.bfloat16 if self.fast else jnp.float32,
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"USE_PALLAS_DSP requires n_fft % 128 == 0 (TPU lane "
+                    f"width); got {self.n_fft} — using the XLA path."
+                )
 
 
 def _windowed_dft(

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .warp import sparse_image_warp
+from .warp import sparse_image_warp_time
 
 
 def _mask_axis(key, spec, max_width: int, axis: int, alive):
@@ -63,7 +63,10 @@ def _time_warp_single(key, spec, w_param: int, faithful_bug: bool):
     dist = jax.random.randint(k2, (), -w_param, w_param).astype(spec.dtype)
     src = jnp.stack([jnp.full((), y, spec.dtype), x_coord.astype(spec.dtype)]).reshape(1, 2)
     dst = src + jnp.stack([jnp.zeros((), spec.dtype), dist]).reshape(1, 2)
-    warped = sparse_image_warp(img, src, dst)
+    # Gather-free specialisation (x-only displacement, bounded flow): same
+    # output as sparse_image_warp to float32 noise, ~100x faster on TPU
+    # (the 2-D bilinear gather serializes on the VPU).
+    warped = sparse_image_warp_time(img, src, dst, max_shift=3 * w_param + 2)
     return warped.T
 
 
