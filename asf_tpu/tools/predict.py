@@ -120,6 +120,12 @@ def main(argv=None):
     cfg = load_config(args) if args.cfg_file else get_cfg()
     setup_logging(cfg.OUTPUT_DIR)
 
+    if cfg.MODEL.MODEL_NAME == "AudioSlowFastGRU":
+        raise SystemExit(
+            "predict supports single-clip models only (the reference's "
+            "predict.py likewise assumes AudioSlowFast); set "
+            "MODEL.MODEL_NAME AudioSlowFast for one-off inference."
+        )
     model = build_model(cfg)
     inputs = load_audio(cfg, args.path)
     variables = model.init(jax.random.PRNGKey(cfg.RNG_SEED), inputs, train=False)
