@@ -12,7 +12,8 @@ from asf_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
 
-BATCH = 64
+import os
+BATCH = int(os.environ.get("ASF_BENCH_BATCH", 64))
 ITERS = 5
 
 

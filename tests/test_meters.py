@@ -73,3 +73,28 @@ def test_multilabel_map():
     # anti-correlated scores -> low mAP; empty class excluded either way
     bad = 1.0 - perfect
     assert metrics.get_map(bad, labels) < 0.8
+
+
+def test_slide_topk_weighted_multilabel():
+    from asf_tpu.engine import metrics
+
+    rng = np.random.default_rng(0)
+    preds = rng.standard_normal((6, 8))
+    labels = np.array(  # up to 2 overlapping labels; -1 = empty slot
+        [[0, -1], [1, 3], [2, -1], [7, 5], [4, -1], [6, 0]]
+    )
+    weight = np.array([1.0, 2.0, 1.0, 0.5, 1.0, 3.0])
+
+    got = metrics.topks_correct_slide(
+        preds, labels, ks=(1, 3), per_action_instance=False, weight=weight
+    )
+
+    # brute force: a window counts (weighted) if ANY of its labels is in top-k
+    w = weight / weight.sum()
+    for ki, k in enumerate((1, 3)):
+        expect = 0.0
+        for i in range(6):
+            topk = np.argsort(-preds[i])[:k]
+            hits = sum(l in topk for l in labels[i] if l >= 0)
+            expect += w[i] * hits  # reference counts each matching label slot
+        np.testing.assert_allclose(got[ki], expect, rtol=1e-9)
