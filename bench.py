@@ -24,7 +24,7 @@ from asf_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
 
-BATCH = 64
+BATCH = 128  # per-chip sweet spot (see scripts/bench_model.py sweep)
 TIMED_ITERS = 10
 
 
