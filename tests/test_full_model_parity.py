@@ -1,0 +1,306 @@
+"""Full-model numerical parity vs the REFERENCE torch implementation.
+
+For each registered model family the reference ships
+(/root/reference/audio_slowfast/models/audio_model_builder.py:114-796):
+
+  1. build the reference torch model at real R50 geometry,
+  2. randomise its BN running statistics (so the eval path is non-trivial),
+  3. export ``state_dict()`` — the same key universe as the six released
+     ``.pyth`` checkpoints (reference README.md:28-36) —
+  4. convert with ``pyth_converter.torch_state_to_flax``,
+  5. assert the converted tree's key-set EXACTLY matches the Flax model's
+     initialised variables (validates the converter against the released
+     checkpoint layout), and
+  6. assert eval-mode and train-mode forward outputs match <= 1e-4, including
+     the post-forward BN running statistics.
+
+This is the round-1 VERDICT's top item: layer-level oracles cannot see trunk
+wiring mistakes (padding, stride placement, fuse order, head pooling); this
+can.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import write_attributes_csv
+from ref_shim import load_reference_models
+
+from asf_tpu.checkpoint.pyth_converter import torch_state_to_flax
+from asf_tpu.config import get_cfg
+from asf_tpu.models.builders import build_model
+
+RTOL = 1e-4
+ATOL = 1e-4
+
+
+def _base_cfg():
+    cfg = get_cfg()
+    # Real R50 geometry: DEPTH=50, WIDTH_PER_GROUP=64, alpha/beta 8/8 are the
+    # reference defaults. Dropout off so train-mode forwards are deterministic.
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.MODEL.PDDL_ATTRIBUTES = ""  # reference default is a junk sentinel
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _two_pathway_resnet(cfg):
+    # Per-pathway RESNET lists as every slowfast YAML sets them
+    # (reference models/asf/config/SLOWFAST_R50.yaml:36-40).
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+
+
+def _randomize_bn(model: torch.nn.Module) -> None:
+    """Give BN layers non-trivial affine params and running stats."""
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0.0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+
+
+def _flat_paths(tree, prefix=()):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.extend(_flat_paths(v, prefix + (k,)))
+        else:
+            out.append(".".join(prefix + (k,)))
+    return out
+
+
+def _unfreeze(tree):
+    if hasattr(tree, "unfreeze"):
+        return tree.unfreeze()
+    return jax.tree_util.tree_map(lambda x: x, dict(tree))
+
+
+def _assert_tree_keys_match(converted, initialized, collection):
+    got = sorted(_flat_paths(converted.get(collection, {})))
+    want = sorted(_flat_paths(_unfreeze(initialized[collection])))
+    assert got == want, (
+        f"{collection} key mismatch:\n only-converted={sorted(set(got) - set(want))[:10]}"
+        f"\n only-flax={sorted(set(want) - set(got))[:10]}"
+    )
+
+
+def _compare_running_stats(torch_model, mutated_stats, rtol=1e-3, atol=1e-4):
+    """Every torch BN running stat must equal the Flax batch_stats leaf."""
+    flat = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + [k])
+            else:
+                flat[".".join(path + [k])] = np.asarray(v)
+
+    walk(_unfreeze(mutated_stats), [])
+    n_checked = 0
+    for name, buf in torch_model.named_buffers():
+        if name.endswith("running_mean"):
+            key = name[: -len("running_mean")] + "mean"
+        elif name.endswith("running_var"):
+            key = name[: -len("running_var")] + "var"
+        else:
+            continue
+        np.testing.assert_allclose(
+            flat[key], buf.detach().numpy(), rtol=rtol, atol=atol, err_msg=name
+        )
+        n_checked += 1
+    assert n_checked > 100  # R50 has ~110 BN layers per pathway pair
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def _torch_inputs(shapes, seed):
+    rng = np.random.default_rng(seed)
+    return [rng.normal(size=s).astype(np.float32) for s in shapes]
+
+
+def _to_flax_nhwc(x):
+    # torch NCHW -> flax NHWC
+    return jnp.asarray(np.moveaxis(x, -3, -1))
+
+
+def _copy_sd(model):
+    return {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    return load_reference_models()
+
+
+def test_audioslowfast_full_parity(ref_models):
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFast"
+    cfg.MODEL.NUM_CLASSES = [97, 300]
+    cfg.MODEL.ARCH = "slowfast"
+    _two_pathway_resnet(cfg)
+
+    torch.manual_seed(0)
+    tmodel = ref_models.MODEL_REGISTRY.get("AudioSlowFast")(cfg)
+    _randomize_bn(tmodel)
+    variables = torch_state_to_flax(_copy_sd(tmodel))
+    assert "_skipped_keys" not in variables, variables.get("_skipped_keys")
+
+    T, F = cfg.AUDIO_DATA.NUM_FRAMES, cfg.AUDIO_DATA.NUM_FREQUENCIES
+    alpha = cfg.SLOWFAST.ALPHA
+    B = 2
+    xs = _torch_inputs([(B, 1, T // alpha, F), (B, 1, T, F)], seed=10)
+
+    fmodel = build_model(cfg)
+    fxs = [_to_flax_nhwc(x) for x in xs]
+    init_vars = fmodel.init(jax.random.PRNGKey(0), fxs, train=False)
+    _assert_tree_keys_match(variables, init_vars, "params")
+    _assert_tree_keys_match(variables, init_vars, "batch_stats")
+
+    # --- eval mode
+    tmodel.eval()
+    with torch.no_grad():
+        tv, tn = tmodel([torch.from_numpy(x) for x in xs])
+    fv, fn = fmodel.apply(variables, fxs, train=False)
+    np.testing.assert_allclose(np.asarray(fv), _np(tv), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(fn), _np(tn), rtol=RTOL, atol=ATOL)
+
+    # --- train mode: raw logits + BN running-stat updates
+    tmodel.train()
+    with torch.no_grad():
+        tv, tn = tmodel([torch.from_numpy(x) for x in xs])
+    (fv, fn), mutated = fmodel.apply(
+        variables, fxs, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(fv), _np(tv), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(fn), _np(tn), rtol=RTOL, atol=ATOL)
+    _compare_running_stats(tmodel, mutated["batch_stats"])
+
+
+def test_resnet_slow_only_full_parity(ref_models):
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = [309]
+    cfg.DATA.INPUT_CHANNEL_NUM = [1]
+
+    torch.manual_seed(1)
+    tmodel = ref_models.MODEL_REGISTRY.get("ResNet")(cfg)
+    _randomize_bn(tmodel)
+    variables = torch_state_to_flax(_copy_sd(tmodel))
+    assert "_skipped_keys" not in variables
+
+    T, F = cfg.AUDIO_DATA.NUM_FRAMES, cfg.AUDIO_DATA.NUM_FREQUENCIES
+    B = 2
+    xs = _torch_inputs([(B, 1, T, F)], seed=11)
+
+    fmodel = build_model(cfg)
+    fxs = [_to_flax_nhwc(x) for x in xs]
+    init_vars = fmodel.init(jax.random.PRNGKey(0), fxs, train=False)
+    _assert_tree_keys_match(variables, init_vars, "params")
+    _assert_tree_keys_match(variables, init_vars, "batch_stats")
+
+    tmodel.eval()
+    with torch.no_grad():
+        ty = tmodel([torch.from_numpy(x) for x in xs])
+    fy = fmodel.apply(variables, fxs, train=False)
+    np.testing.assert_allclose(np.asarray(fy), _np(ty), rtol=RTOL, atol=ATOL)
+
+    tmodel.train()
+    with torch.no_grad():
+        ty = tmodel([torch.from_numpy(x) for x in xs])
+    fy, mutated = fmodel.apply(variables, fxs, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(fy), _np(ty), rtol=RTOL, atol=ATOL)
+
+    # single-pathway R50 has ~53 BN layers; relax the count floor
+    flat = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + [k])
+            else:
+                flat[".".join(path + [k])] = np.asarray(v)
+
+    walk(_unfreeze(mutated["batch_stats"]), [])
+    for name, buf in tmodel.named_buffers():
+        if name.endswith("running_mean"):
+            np.testing.assert_allclose(
+                flat[name[: -len("running_mean")] + "mean"],
+                buf.detach().numpy(), rtol=1e-3, atol=1e-4, err_msg=name,
+            )
+
+
+def test_audioslowfast_gru_full_parity(ref_models, tmp_path):
+    cfg = _base_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFastGRU"
+    cfg.MODEL.NUM_CLASSES = [97, 300]
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.ONLY_ACTION_RECOGNITION = False
+    cfg.MODEL.PDDL_ATTRIBUTES = write_attributes_csv(str(tmp_path), n_attrs=5)
+    _two_pathway_resnet(cfg)
+
+    torch.manual_seed(2)
+    # The reference __init__ appends len(attributes) to NUM_CLASSES
+    # (audio_model_builder.py:371-378); build_model sees len==3 and skips
+    # its own append, so both models agree on [97, 300, 5].
+    tmodel = ref_models.MODEL_REGISTRY.get("AudioSlowFastGRU")(cfg)
+    assert list(cfg.MODEL.NUM_CLASSES) == [97, 300, 5]
+    _randomize_bn(tmodel)
+    variables = torch_state_to_flax(_copy_sd(tmodel))
+    assert "_skipped_keys" not in variables
+
+    T, F = cfg.AUDIO_DATA.NUM_FRAMES, cfg.AUDIO_DATA.NUM_FREQUENCIES
+    alpha = cfg.SLOWFAST.ALPHA
+    B, N = 2, 3
+    xs = _torch_inputs([(B, N, 1, T // alpha, F), (B, N, 1, T, F)], seed=12)
+    lengths = np.array([3, 2], dtype=np.int64)  # max == N (pad_packed contract)
+    noun_emb = np.random.default_rng(13).normal(
+        size=(B, cfg.MODEL.GRU_HIDDEN_SIZE)
+    ).astype(np.float32)
+
+    fmodel = build_model(cfg)
+    fxs = [jnp.asarray(np.moveaxis(x, -3, -1)) for x in xs]  # (B,N,T,F,1)
+    flengths = jnp.asarray(lengths.astype(np.int32))
+    init_vars = fmodel.init(
+        jax.random.PRNGKey(0), fxs, flengths,
+        noun_embeddings=jnp.asarray(noun_emb), train=False,
+    )
+    _assert_tree_keys_match(variables, init_vars, "params")
+    _assert_tree_keys_match(variables, init_vars, "batch_stats")
+
+    targs = (
+        [torch.from_numpy(x) for x in xs],
+        torch.from_numpy(lengths),
+        torch.from_numpy(noun_emb),
+    )
+
+    tmodel.eval()
+    with torch.no_grad():
+        tv, tn, ts = tmodel(*targs)
+    fv, fn, fs = fmodel.apply(
+        variables, fxs, flengths, noun_embeddings=jnp.asarray(noun_emb), train=False
+    )
+    np.testing.assert_allclose(np.asarray(fv), _np(tv), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(fn), _np(tn), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(fs), _np(ts), rtol=RTOL, atol=ATOL)
+
+    tmodel.train()
+    with torch.no_grad():
+        tv, tn, ts = tmodel(*targs)
+    (fv, fn, fs), mutated = fmodel.apply(
+        variables, fxs, flengths, noun_embeddings=jnp.asarray(noun_emb),
+        train=True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(fv), _np(tv), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(fn), _np(tn), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(fs), _np(ts), rtol=RTOL, atol=ATOL)
+    _compare_running_stats(tmodel, mutated["batch_stats"])
