@@ -21,6 +21,7 @@ TPU-first deltas (behaviour-preserving):
 from __future__ import annotations
 
 import os
+import threading
 from typing import List, Optional, Type
 
 import numpy as np
@@ -34,7 +35,7 @@ from .records import (
     EpicKitchensAudioRecordGRUwithPDDL,
     EpicKitchensAudioRecordWithPDDL,
 )
-from .sampling import get_start_end_idx
+from .sampling import get_start_end_idx, item_rng
 from .transforms import get_transforms
 from asf_tpu.utils.logging import get_logger
 
@@ -64,14 +65,21 @@ class EpicKitchens:
                 cfg.TEST.NUM_ENSEMBLE_VIEWS if "GRU" not in cfg.TEST.DATASET else 1
             )
 
-        self.audio_dataset = None  # opened lazily (fork/thread safety)
+        # One h5py handle per worker thread: HDF5 reads on a shared handle
+        # are not thread-safe under the loader's thread pool.
+        self._h5_local = threading.local()
         self.unique_batch = cfg.EPICKITCHENS.SINGLE_BATCH
         self.transforms = get_transforms()
         self.clip_size = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS))
         self.clip_samples = self.clip_size - 1
-        self._rng = np.random.default_rng(cfg.RNG_SEED)
+        self._epoch = 0
 
         self._construct_loader()
+
+    def set_epoch(self, epoch: int):
+        """Re-key the per-item rng stream (DistributedSampler.set_epoch
+        semantics for item-level randomness)."""
+        self._epoch = int(epoch)
 
     # -- record list -------------------------------------------------------
     def _annotation_files(self) -> List[str]:
@@ -108,11 +116,11 @@ class EpicKitchens:
 
     # -- HDF5 access -------------------------------------------------------
     def _h5(self):
-        if self.audio_dataset is None:
+        if getattr(self._h5_local, "f", None) is None:
             import h5py
 
-            self.audio_dataset = h5py.File(self.cfg.EPICKITCHENS.AUDIO_DATA_FILE, "r")
-        return self.audio_dataset
+            self._h5_local.f = h5py.File(self.cfg.EPICKITCHENS.AUDIO_DATA_FILE, "r")
+        return self._h5_local.f
 
     def _read_region(self, video_id: str, start: int, end: int) -> np.ndarray:
         """Region read with zero-padding outside the video bounds."""
@@ -152,7 +160,7 @@ class EpicKitchens:
         return wave
 
     def __getitem__(self, index: int):
-        rng = self._rng
+        rng = item_rng(self.cfg.RNG_SEED, self._epoch, index)
         if self.gru_format:
             return self._get_item_gru(index, rng)
         return self._get_item_regular(index, rng)

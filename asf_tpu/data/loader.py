@@ -121,8 +121,13 @@ class AsfLoader:
         self.single_bucket = single_bucket
 
     def set_epoch(self, epoch: int):
-        """Parity with DistributedSampler.set_epoch (loader.py:120-134)."""
+        """Parity with DistributedSampler.set_epoch (loader.py:120-134).
+
+        Reshuffles the index order AND re-keys the dataset's per-item rng
+        stream (clip starts, waveform transforms)."""
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 
 from .build import register_dataset
-from .sampling import get_start_end_idx
+from .sampling import get_start_end_idx, item_rng
 from asf_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -46,8 +46,11 @@ class Vggsound:
         self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS if mode == "test" else 1
         self.clip_size = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS))
         self.clip_samples = self.clip_size - 1
-        self._rng = np.random.default_rng(cfg.RNG_SEED)
+        self._epoch = 0
         self._construct_loader()
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
 
     def _construct_loader(self):
         c = self.cfg.VGGSOUND
@@ -83,7 +86,7 @@ class Vggsound:
         else:
             start, end = get_start_end_idx(
                 len(samples), self.clip_size, tsi, self.cfg.TEST.NUM_ENSEMBLE_VIEWS,
-                rng=self._rng,
+                rng=item_rng(self.cfg.RNG_SEED, self._epoch, index),
             )
             clip = samples[int(start) : int(end)]
 

@@ -32,7 +32,6 @@ def pack_pathways(cfg, spectrogram: jnp.ndarray):
     if arch in cfg.MODEL.SINGLE_PATHWAY_ARCH:
         return [spectrogram]
     if arch in cfg.MODEL.MULTI_PATHWAY_ARCH:
-        t_axis = spectrogram.ndim - 3 if spectrogram.shape[-1] in (1,) else spectrogram.ndim - 2
         # Canonical layouts: (B, T, F), (B, T, F, C) or (B, N, T, F, C).
         if spectrogram.ndim >= 3 and spectrogram.shape[-1] <= 4:
             t_axis = spectrogram.ndim - 3

@@ -22,12 +22,14 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import struct
 
 from asf_tpu.dsp.logmel import LogMelParams, log_mel_spectrogram
 from asf_tpu.dsp.pathways import slow_indices
 from asf_tpu.dsp.specaugment import spec_augment_batch
 from asf_tpu.models import losses as losses_mod
+from . import metrics as metrics_mod
 from .optimizer import set_lr
 
 
@@ -172,9 +174,47 @@ def _apply_model(cfg, model, variables, paths, batch, train, rngs, mutable):
     return model.apply(variables, paths, rngs=rngs, mutable=mutable, **kwargs)
 
 
+def make_device_metrics(cfg):
+    """Per-batch train accuracies computed IN-GRAPH on the step's preds.
+
+    The reference fetches predictions to the host and computes top-k there
+    every iteration (tools/train_net.py:500-532); on TPU that blocks the
+    dispatch pipeline (~50 ms round-trips vs a ~10 ms step). Keeping the
+    reduction in the compiled step leaves only O(10) scalars on device,
+    which the train loop materialises once per LOG_PERIOD.
+    """
+    multitask = is_multitask(cfg)
+    with_state = has_state_head(cfg)
+
+    def compute(preds, labels):
+        if multitask:
+            x_v, x_n = preds[0], preds[1]
+            v1, v5 = metrics_mod.topk_accuracies(x_v, labels["verb"], (1, 5))
+            n1, n5 = metrics_mod.topk_accuracies(x_n, labels["noun"], (1, 5))
+            a1, a5 = metrics_mod.multitask_topk_accuracies(
+                (x_v, x_n), (labels["verb"], labels["noun"]), (1, 5)
+            )
+            out = {
+                "verb_top1": v1, "verb_top5": v5,
+                "noun_top1": n1, "noun_top5": n5,
+                "action_top1": a1, "action_top5": a5,
+            }
+            if with_state:
+                # trigger operand for the "State looking strange" alert
+                # (reference check_predictions, tools/train_utils.py:12-38)
+                out["state_pred_max_abs"] = jnp.max(jnp.abs(preds[2]))
+            return out
+        key = "class_id" if "class_id" in labels else "verb"
+        k1, k5 = metrics_mod.topk_accuracies(preds, labels[key], (1, 5))
+        return {"top1_err": 100.0 - k1, "top5_err": 100.0 - k5}
+
+    return compute
+
+
 def make_train_step(cfg, model, tx):
     pipeline = make_input_pipeline(cfg)
     loss_fn_ = make_loss_fn(cfg)
+    device_metrics = make_device_metrics(cfg)
     gru = is_gru_model(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -205,13 +245,21 @@ def make_train_step(cfg, model, tx):
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
+        # wandb.watch stand-in (reference train_net.py:752): global grad and
+        # param L2 norms, logged by the loop every LOG_PERIOD
+        parts = dict(parts)
+        parts["grad_norm"] = optax.global_norm(grads)
+        parts["param_norm"] = optax.global_norm(new_params)
+
+        stats = device_metrics(preds, batch["labels"])
+
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        return new_state, parts, preds
+        return new_state, parts, stats
 
     return train_step
 

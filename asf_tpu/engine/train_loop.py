@@ -25,7 +25,6 @@ from asf_tpu.models import build_model
 from asf_tpu.parallel.mesh import make_mesh, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils import lr_policy
 from asf_tpu.utils.logging import get_logger, setup_logging
-from . import metrics
 from .eval_loop import build_val_meter, eval_epoch
 from .meters import EPICTrainMeter, TrainMeter
 from .optimizer import construct_optimizer
@@ -47,29 +46,84 @@ def check_nan_losses(loss: float):
         raise RuntimeError(f"ERROR: Got NaN losses {loss}")
 
 
+def check_state_alerts(parts_h, stats_h, scalar_logger):
+    """Anomalous state-head alerting with the reference's trigger semantics:
+    all |state preds| <= 0.1 -> "State looking strange" (check_predictions,
+    tools/train_utils.py:12-38); state loss >= 40 -> loss alert
+    (MaskedLoss threshold, utils/loss.py:104-128)."""
+    if scalar_logger is None:
+        return
+    max_abs = stats_h.get("state_pred_max_abs")
+    if max_abs is not None and max_abs <= 0.1:
+        scalar_logger.alert(
+            "State looking strange",
+            f"State predictions < 0.1 (max |pred| = {max_abs:.4g})",
+        )
+    state_loss = parts_h.get("state_loss")
+    if state_loss is not None and state_loss >= 40.0:
+        scalar_logger.alert(
+            "state_loss >= 40", f"Anomalous state loss: {state_loss:.4g}"
+        )
+
+
 def train_epoch(
     train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng,
     scalar_logger=None,
 ):
     multitask = is_multitask(cfg)
     data_size = len(train_loader)
+    log_period = max(1, cfg.LOG_PERIOD)
 
     profile_dir = cfg.TPU.PROFILE_DIR if cur_epoch == 0 else ""
     prof_start = min(cfg.TPU.PROFILE_START_ITER, max(0, len(train_loader) - 2))
     prof_n = cfg.TPU.PROFILE_NUM_ITERS
     tracing = False
 
+    # Per-iteration results stay ON DEVICE; the loop materialises floats for
+    # the meter once per LOG_PERIOD so the dispatch pipeline never blocks on
+    # a per-step host read (round-1 weak #3; the reference host-syncs every
+    # iteration, tools/train_net.py:500-607).
+    pending = []  # (cur_iter, parts, stats, lr, mb_size)
+
+    def flush():
+        if not pending:
+            return
+        host = jax.device_get([(p, s) for _, p, s, _, _ in pending])
+        for (cur_it, _, _, lr, mb_size), (parts_d, stats_d) in zip(pending, host):
+            parts_h = {k: float(v) for k, v in parts_d.items()}
+            stats_h = {k: float(v) for k, v in stats_d.items()}
+            check_nan_losses(parts_h["loss"])
+            check_state_alerts(parts_h, stats_h, scalar_logger)
+            if multitask:
+                train_meter.update_stats(
+                    (stats_h["verb_top1"], stats_h["noun_top1"], stats_h["action_top1"]),
+                    (stats_h["verb_top5"], stats_h["noun_top5"], stats_h["action_top5"]),
+                    parts_h,
+                    lr,
+                    mb_size,
+                )
+            else:
+                train_meter.update_stats(
+                    stats_h["top1_err"], stats_h["top5_err"], parts_h["loss"], lr, mb_size
+                )
+            train_meter.log_iter_stats(cur_epoch, cur_it)
+            if scalar_logger is not None and cur_it % log_period == 0:
+                scalars = {f"Train/{k}": v for k, v in parts_h.items()}
+                scalars["Train/lr"] = lr
+                scalar_logger.log(scalars, global_step=data_size * cur_epoch + cur_it)
+        pending.clear()
+
     train_meter.iter_tic()
     for cur_iter, batch in enumerate(iter_prefetched(train_loader, cfg, mesh)):
         if profile_dir and not tracing and cur_iter == prof_start:
             jax.profiler.start_trace(profile_dir)
             tracing = True
-        metadata = batch.pop("metadata", None)
+        batch.pop("metadata", None)
         batch = shard_batch(batch, mesh)
         train_meter.data_toc()
 
         lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
-        state, parts, preds = train_step(state, batch, jnp.float32(lr), rng)
+        state, parts, stats = train_step(state, batch, jnp.float32(lr), rng)
 
         if tracing and cur_iter >= prof_start + prof_n:
             jax.block_until_ready(parts["loss"])
@@ -77,39 +131,15 @@ def train_epoch(
             logger.info("Saved profiler trace to %s", profile_dir)
             tracing, profile_dir = False, ""
 
-        loss_val = float(parts["loss"])
-        check_nan_losses(loss_val)
         mb_size = batch["labels"][next(iter(batch["labels"]))].shape[0]
-
-        if multitask:
-            x_v, x_n = jnp.asarray(preds[0]), jnp.asarray(preds[1])
-            verb, noun = batch["labels"]["verb"], batch["labels"]["noun"]
-            v1, v5 = metrics.topk_accuracies(x_v, verb, (1, 5))
-            n1, n5 = metrics.topk_accuracies(x_n, noun, (1, 5))
-            a1, a5 = metrics.multitask_topk_accuracies((x_v, x_n), (verb, noun), (1, 5))
-            train_meter.update_stats(
-                (float(v1), float(n1), float(a1)),
-                (float(v5), float(n5), float(a5)),
-                {k: float(v) for k, v in parts.items()},
-                lr,
-                mb_size,
-            )
-        else:
-            scores = jnp.asarray(preds)
-            labels = batch["labels"]["class_id"]
-            k1, k5 = metrics.topk_accuracies(scores, labels, (1, 5))
-            train_meter.update_stats(
-                100.0 - float(k1), 100.0 - float(k5), loss_val, lr, mb_size
-            )
+        pending.append((cur_iter, parts, stats, lr, mb_size))
+        if (cur_iter + 1) % log_period == 0:
+            flush()
 
         train_meter.iter_toc()
-        train_meter.log_iter_stats(cur_epoch, cur_iter)
-        if scalar_logger is not None and cur_iter % cfg.LOG_PERIOD == 0:
-            scalars = {f"Train/{k}": float(v) for k, v in parts.items()}
-            scalars["Train/lr"] = float(lr)
-            scalar_logger.log(scalars, global_step=data_size * cur_epoch + cur_iter)
         train_meter.iter_tic()
 
+    flush()
     if tracing:  # epoch shorter than the profiling window
         jax.profiler.stop_trace()
         logger.info("Saved profiler trace to %s", profile_dir)

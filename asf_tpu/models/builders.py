@@ -94,113 +94,112 @@ def _slowfast_trunk(cfg, dtype, xs, train: bool = False, bn_stats_frozen: bool =
     (s1, s1_fuse, ..., s5) attach to the calling model at top level —
     mirroring the reference state-dict key structure.
     """
-    if True:
-        d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
-        w = cfg.RESNET.WIDTH_PER_GROUP
-        ng = cfg.RESNET.NUM_GROUPS
-        dim_inner = ng * w
-        beta = cfg.SLOWFAST.BETA_INV
-        ratio = cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO
-        fuse_k = cfg.SLOWFAST.FUSION_KERNEL_SZ
-        alpha = cfg.SLOWFAST.ALPHA
-        out_dim_ratio = beta // ratio
-        tk = _TEMPORAL_KERNEL_BASIS["slowfast"]
-        zi = cfg.RESNET.ZERO_INIT_FINAL_BN
-        norm = make_norm(cfg, dtype=dtype, axis_name="data")
+    d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
+    w = cfg.RESNET.WIDTH_PER_GROUP
+    ng = cfg.RESNET.NUM_GROUPS
+    dim_inner = ng * w
+    beta = cfg.SLOWFAST.BETA_INV
+    ratio = cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO
+    fuse_k = cfg.SLOWFAST.FUSION_KERNEL_SZ
+    alpha = cfg.SLOWFAST.ALPHA
+    out_dim_ratio = beta // ratio
+    tk = _TEMPORAL_KERNEL_BASIS["slowfast"]
+    zi = cfg.RESNET.ZERO_INIT_FINAL_BN
+    norm = make_norm(cfg, dtype=dtype)
 
-        common = dict(
-            trans_func_name=cfg.RESNET.TRANS_FUNC,
-            stride_1x1=cfg.RESNET.STRIDE_1X1,
-            norm=norm,
-            dtype=dtype,
-            zero_init_final_bn=zi,
-        )
+    common = dict(
+        trans_func_name=cfg.RESNET.TRANS_FUNC,
+        stride_1x1=cfg.RESNET.STRIDE_1X1,
+        norm=norm,
+        dtype=dtype,
+        zero_init_final_bn=zi,
+    )
 
-        xs = AudioModelStem(
-            dim_out=[w, w // beta],
-            kernel=[tk[0][0] + [7], tk[0][1] + [7]],
-            stride=[[2, 2]] * 2,
-            padding=[[tk[0][0][0] // 2, 3], [tk[0][1][0] // 2, 3]],
-            norm=norm,
-            dtype=dtype,
-            name="s1",
-        )(xs, train=train)
-        xs = FuseFastToSlow(
-            w // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype,
-            bn_freeze_exempt=True, name="s1_fuse",
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = AudioModelStem(
+        dim_out=[w, w // beta],
+        kernel=[tk[0][0] + [7], tk[0][1] + [7]],
+        stride=[[2, 2]] * 2,
+        padding=[[tk[0][0][0] // 2, 3], [tk[0][1][0] // 2, 3]],
+        norm=norm,
+        dtype=dtype,
+        name="s1",
+    )(xs, train=train)
+    xs = FuseFastToSlow(
+        w // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype,
+        bn_freeze_exempt=True, name="s1_fuse",
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
 
-        xs = ResStage(
-            dim_in=[w + w // out_dim_ratio, w // beta],
-            dim_out=[w * 4, w * 4 // beta],
-            dim_inner=[dim_inner, dim_inner // beta],
-            temp_kernel_sizes=tk[1],
-            stride=cfg.RESNET.FREQUENCY_STRIDES[0],
-            num_blocks=[d2] * 2,
-            num_groups=[ng] * 2,
-            num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[0],
-            dilation=cfg.RESNET.FREQUENCY_DILATIONS[0],
-            name="s2",
-            **common,
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
-        xs = FuseFastToSlow(
-            w * 4 // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype, name="s2_fuse"
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = ResStage(
+        dim_in=[w + w // out_dim_ratio, w // beta],
+        dim_out=[w * 4, w * 4 // beta],
+        dim_inner=[dim_inner, dim_inner // beta],
+        temp_kernel_sizes=tk[1],
+        stride=cfg.RESNET.FREQUENCY_STRIDES[0],
+        num_blocks=[d2] * 2,
+        num_groups=[ng] * 2,
+        num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[0],
+        dilation=cfg.RESNET.FREQUENCY_DILATIONS[0],
+        name="s2",
+        **common,
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = FuseFastToSlow(
+        w * 4 // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype, name="s2_fuse"
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
 
-        pool_size = _POOL1["slowfast"]
-        xs = [
-            nn.max_pool(x, tuple(pool_size[p]), strides=tuple(pool_size[p]), padding="VALID")
-            for p, x in enumerate(xs)
-        ]
+    pool_size = _POOL1["slowfast"]
+    xs = [
+        nn.max_pool(x, tuple(pool_size[p]), strides=tuple(pool_size[p]), padding="VALID")
+        for p, x in enumerate(xs)
+    ]
 
-        xs = ResStage(
-            dim_in=[w * 4 + w * 4 // out_dim_ratio, w * 4 // beta],
-            dim_out=[w * 8, w * 8 // beta],
-            dim_inner=[dim_inner * 2, dim_inner * 2 // beta],
-            temp_kernel_sizes=tk[2],
-            stride=cfg.RESNET.FREQUENCY_STRIDES[1],
-            num_blocks=[d3] * 2,
-            num_groups=[ng] * 2,
-            num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[1],
-            dilation=cfg.RESNET.FREQUENCY_DILATIONS[1],
-            name="s3",
-            **common,
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
-        xs = FuseFastToSlow(
-            w * 8 // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype, name="s3_fuse"
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = ResStage(
+        dim_in=[w * 4 + w * 4 // out_dim_ratio, w * 4 // beta],
+        dim_out=[w * 8, w * 8 // beta],
+        dim_inner=[dim_inner * 2, dim_inner * 2 // beta],
+        temp_kernel_sizes=tk[2],
+        stride=cfg.RESNET.FREQUENCY_STRIDES[1],
+        num_blocks=[d3] * 2,
+        num_groups=[ng] * 2,
+        num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[1],
+        dilation=cfg.RESNET.FREQUENCY_DILATIONS[1],
+        name="s3",
+        **common,
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = FuseFastToSlow(
+        w * 8 // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype, name="s3_fuse"
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
 
-        xs = ResStage(
-            dim_in=[w * 8 + w * 8 // out_dim_ratio, w * 8 // beta],
-            dim_out=[w * 16, w * 16 // beta],
-            dim_inner=[dim_inner * 4, dim_inner * 4 // beta],
-            temp_kernel_sizes=tk[3],
-            stride=cfg.RESNET.FREQUENCY_STRIDES[2],
-            num_blocks=[d4] * 2,
-            num_groups=[ng] * 2,
-            num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[2],
-            dilation=cfg.RESNET.FREQUENCY_DILATIONS[2],
-            name="s4",
-            **common,
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
-        xs = FuseFastToSlow(
-            w * 16 // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype, name="s4_fuse"
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = ResStage(
+        dim_in=[w * 8 + w * 8 // out_dim_ratio, w * 8 // beta],
+        dim_out=[w * 16, w * 16 // beta],
+        dim_inner=[dim_inner * 4, dim_inner * 4 // beta],
+        temp_kernel_sizes=tk[3],
+        stride=cfg.RESNET.FREQUENCY_STRIDES[2],
+        num_blocks=[d4] * 2,
+        num_groups=[ng] * 2,
+        num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[2],
+        dilation=cfg.RESNET.FREQUENCY_DILATIONS[2],
+        name="s4",
+        **common,
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    xs = FuseFastToSlow(
+        w * 16 // beta, ratio, fuse_k, alpha, norm=norm, dtype=dtype, name="s4_fuse"
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
 
-        xs = ResStage(
-            dim_in=[w * 16 + w * 16 // out_dim_ratio, w * 16 // beta],
-            dim_out=[w * 32, w * 32 // beta],
-            dim_inner=[dim_inner * 8, dim_inner * 8 // beta],
-            temp_kernel_sizes=tk[4],
-            stride=cfg.RESNET.FREQUENCY_STRIDES[3],
-            num_blocks=[d5] * 2,
-            num_groups=[ng] * 2,
-            num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[3],
-            dilation=cfg.RESNET.FREQUENCY_DILATIONS[3],
-            name="s5",
-            **common,
-        )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
-        return xs
+    xs = ResStage(
+        dim_in=[w * 16 + w * 16 // out_dim_ratio, w * 16 // beta],
+        dim_out=[w * 32, w * 32 // beta],
+        dim_inner=[dim_inner * 8, dim_inner * 8 // beta],
+        temp_kernel_sizes=tk[4],
+        stride=cfg.RESNET.FREQUENCY_STRIDES[3],
+        num_blocks=[d5] * 2,
+        num_groups=[ng] * 2,
+        num_block_temp_kernel=cfg.RESNET.NUM_BLOCK_TEMP_KERNEL[3],
+        dilation=cfg.RESNET.FREQUENCY_DILATIONS[3],
+        name="s5",
+        **common,
+    )(xs, train=train, bn_stats_frozen=bn_stats_frozen)
+    return xs
 
 
 @register_model("AudioSlowFast")
@@ -301,7 +300,7 @@ class ResNet(nn.Module):
         ng = cfg.RESNET.NUM_GROUPS
         dim_inner = ng * w
         zi = cfg.RESNET.ZERO_INIT_FINAL_BN
-        norm = make_norm(cfg, dtype=self.dtype, axis_name="data")
+        norm = make_norm(cfg, dtype=self.dtype)
         common = dict(
             trans_func_name=cfg.RESNET.TRANS_FUNC,
             stride_1x1=cfg.RESNET.STRIDE_1X1,

@@ -162,7 +162,7 @@ class GRUResNetBasicHead(nn.Module):
         feat = x.shape[-1]
         x = x.reshape(B, N, feat)
 
-        D = 2 if True else 1  # reference GRU is always bidirectional
+        D = 2  # reference GRU is always bidirectional
         gru = TorchGRU(
             hidden_size=self.gru_hidden_size,
             num_layers=self.gru_num_layers,

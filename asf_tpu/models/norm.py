@@ -3,11 +3,19 @@
 Replaces the reference's three BN flavours
 (/root/reference/audio_slowfast/models/batchnorm_helper.py:16-196):
 
-  * ``batchnorm``      -> per-device batch stats
-  * ``sync_batchnorm`` -> cross-device stats via ``lax.pmean`` over the
-    mesh's data axis (replaces NaiveSyncBatchNorm2d's NCCL GroupGather,
-    batchnorm_helper.py:106-196); ``NUM_SYNC_DEVICES`` maps to
-    ``axis_index_groups`` sub-groups.
+  * ``batchnorm``      -> batch stats over the (logically global) batch.
+  * ``sync_batchnorm`` -> NaiveSyncBatchNorm2d parity
+    (batchnorm_helper.py:106-196). Under GSPMD jit the batch is ONE logical
+    array sharded over the mesh's ``data`` axis, so plain ``jnp.mean`` over
+    it already yields globally synced statistics — no collective primitive
+    is needed (XLA inserts the cross-device reduce). ``NUM_SYNC_DEVICES=k``
+    sub-groups map onto the split-stats path below with
+    ``num_splits = data_parallel // k``: the batch is sharded contiguously
+    over the data axis, so contiguous global-batch splits coincide with the
+    reference's contiguous device groups. One deliberate delta: the single
+    logical copy of the running stats aggregates across groups (mean of
+    group means + between-group variance), where the reference keeps
+    divergent per-process buffers and arbitrarily checkpoints rank 0's.
   * ``sub_batchnorm``  -> batch split into NUM_SPLITS groups, each normalised
     with its own stats during training; running stats aggregate the split
     means (parity with SubBatchNorm2d, batchnorm_helper.py:34-103).
@@ -21,7 +29,7 @@ dtype.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +43,6 @@ class TorchBatchNorm(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1  # torch convention
     dtype: Any = jnp.float32
-    axis_name: Optional[str] = None
-    axis_index_groups: Any = None
     num_splits: int = 1
     scale_init: Any = nn.initializers.ones
 
@@ -85,25 +91,15 @@ class TorchBatchNorm(nn.Module):
             mean = jnp.mean(x32, axis=reduce_axes)
             msq = jnp.mean(jnp.square(x32), axis=reduce_axes)
             n_per_channel = math.prod(x32.shape[:-1])
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name, axis_index_groups=self.axis_index_groups)
-                msq = jax.lax.pmean(msq, self.axis_name, axis_index_groups=self.axis_index_groups)
-                group = (
-                    len(self.axis_index_groups[0])
-                    if self.axis_index_groups
-                    else jax.lax.psum(1, self.axis_name)
-                )
-                n_per_channel = n_per_channel * group
             var = msq - jnp.square(mean)
             y = _affine(x32, mean, var, scale, bias, self.eps, self.dtype)
 
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-            # torch stores the UNBIASED variance in running_var. n_per_channel
-            # may be traced when synced over a mesh axis.
-            n = jnp.asarray(n_per_channel, jnp.float32)
-            unbias = n / jnp.maximum(n - 1.0, 1.0)
+            # torch stores the UNBIASED variance in running_var.
+            n = float(n_per_channel)
+            unbias = n / max(n - 1.0, 1.0)
             ra_var.value = (1.0 - m) * ra_var.value + m * var * unbias
 
         return y.astype(self.dtype)
@@ -115,14 +111,33 @@ def _affine(x, mean, var, scale, bias, eps, dtype):
     return y.astype(dtype)
 
 
-def make_norm(cfg, dtype=jnp.float32, axis_name: Optional[str] = None):
+def sync_bn_splits(cfg) -> int:
+    """Number of contiguous global-batch groups for ``sync_batchnorm``.
+
+    NaiveSyncBatchNorm2d syncs stats over groups of ``NUM_SYNC_DEVICES``
+    adjacent devices (batchnorm_helper.py:106-145, ``get_world_size() //
+    num_sync_devices`` groups). The global batch is sharded contiguously
+    over the mesh's data axis, so group g's samples are exactly global-batch
+    split g — the split-stats path reproduces the grouping under plain jit.
+    """
+    from asf_tpu.parallel.mesh import data_parallel_size
+
+    k = max(1, int(cfg.BN.NUM_SYNC_DEVICES))
+    return max(1, data_parallel_size(cfg) // k)
+
+
+def make_norm(cfg, dtype=jnp.float32):
     """Returns a TorchBatchNorm factory bound to the cfg's BN options.
 
     Parity with ``get_norm`` (/root/reference/audio_slowfast/models/batchnorm_helper.py:16-31).
     """
     norm_type = cfg.BN.NORM_TYPE
-    num_splits = cfg.BN.NUM_SPLITS if norm_type == "sub_batchnorm" else 1
-    sync = norm_type == "sync_batchnorm"
+    if norm_type == "sub_batchnorm":
+        num_splits = cfg.BN.NUM_SPLITS
+    elif norm_type == "sync_batchnorm":
+        num_splits = sync_bn_splits(cfg)
+    else:
+        num_splits = 1
     # Internal hook used by precise-BN (engine): momentum 1.0 makes the
     # running stats equal the latest batch stats (fvcore update_bn_stats
     # trick, cf. utils/bn_helper.py:12-74).
@@ -133,7 +148,6 @@ def make_norm(cfg, dtype=jnp.float32, axis_name: Optional[str] = None):
             features=features,
             momentum=momentum,
             dtype=dtype,
-            axis_name=axis_name if sync else None,
             num_splits=num_splits,
             scale_init=scale_init,
             name=name,

@@ -42,6 +42,17 @@ def make_mesh(cfg=None, num_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices[:n]), ("data",))
 
 
+def data_parallel_size(cfg=None) -> int:
+    """Size of the 'data' axis of the mesh ``make_mesh(cfg)`` would build.
+
+    Used by sync_batchnorm to derive its device-group count without holding
+    a mesh reference inside the model (models stay mesh-agnostic)."""
+    try:
+        return int(make_mesh(cfg).shape["data"])
+    except RuntimeError:  # no backend initialised (e.g. docs build)
+        return 1
+
+
 def param_shardings(tree, mesh: Mesh, min_dim: int = 128):
     """Place a param-like tree: wide trailing (output-channel) axes shard on
     'model' when present, everything else replicates. GSPMD propagates the

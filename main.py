@@ -35,10 +35,13 @@ def main(args):
         if not cfg.EPICKITCHENS.SKIP_PREPARATION:
             prepare_dataset(cfg=cfg)
         else:
-            for path in (
+            # Same path the dataset will use (epickitchens.py joins the
+            # processed list names with ANNOTATIONS_DIR).
+            for name in (
                 cfg.EPICKITCHENS.PROCESSED_TRAIN_LIST,
                 cfg.EPICKITCHENS.PROCESSED_VAL_LIST,
             ):
+                path = os.path.join(cfg.EPICKITCHENS.ANNOTATIONS_DIR, name)
                 if not os.path.exists(path):
                     logger.error("Processed list %s does not exist", path)
                     raise SystemExit(1)

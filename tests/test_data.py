@@ -125,6 +125,72 @@ def test_loader_shuffle_epoch_determinism(tmp_path):
     assert not np.array_equal(b0, b1)
 
 
+def _epoch_batches(cfg, epoch, num_workers):
+    cfg.DATA_LOADER.NUM_WORKERS = num_workers
+    loader = construct_loader(cfg, "train")
+    loader.set_epoch(epoch)
+    return list(loader)
+
+
+def test_loader_item_determinism_across_workers(tmp_path):
+    """Same seed => byte-identical batches regardless of NUM_WORKERS (the
+    round-1 shared-Generator race made this scheduling-dependent); a new
+    epoch re-keys the item-level randomness (clip starts), not just the
+    shuffle order."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    cfg.TRAIN.BATCH_SIZE = 2
+
+    a = _epoch_batches(cfg, 0, num_workers=1)
+    b = _epoch_batches(cfg, 0, num_workers=4)
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["index"], bb["index"])
+        np.testing.assert_array_equal(ba["waveform"], bb["waveform"])
+        np.testing.assert_array_equal(ba["n_valid"], bb["n_valid"])
+        for k in ba["labels"]:
+            np.testing.assert_array_equal(ba["labels"][k], bb["labels"][k])
+
+    # same records, epoch 1: random clip starts must differ for at least one
+    # record longer than the clip (uniform draw re-keyed by epoch)
+    c = _epoch_batches(cfg, 1, num_workers=1)
+    by_index_a = {
+        int(i): ba["waveform"][j] for ba in a for j, i in enumerate(ba["index"])
+    }
+    by_index_c = {
+        int(i): bc["waveform"][j] for bc in c for j, i in enumerate(bc["index"])
+    }
+    assert any(
+        not np.array_equal(by_index_a[i], by_index_c[i]) for i in by_index_a
+    ), "epoch change did not re-key item randomness"
+
+
+def test_loader_rank_sharding(tmp_path):
+    """Multi-host shard split: disjoint, exhaustive, equal batch counts
+    (DistributedSampler parity, reference datasets/utils.py:87)."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+
+    for world in (2, 4):
+        seen = []
+        lens = []
+        for rank in (range(world)):
+            cfg.SHARD_ID, cfg.NUM_SHARDS = rank, world
+            cfg.TRAIN.BATCH_SIZE = 1
+            loader = construct_loader(cfg, "train")
+            loader.set_epoch(3)
+            idx = [int(i) for b in loader for i in b["index"]]
+            seen.append(set(idx))
+            lens.append(len(loader))
+        assert len(set(lens)) <= 2 and max(lens) - min(lens) <= 1
+        union = set().union(*seen)
+        assert sum(len(s) for s in seen) == len(union), "rank shards overlap"
+        assert union == set(range(6)), "rank shards not exhaustive"
+    cfg.SHARD_ID, cfg.NUM_SHARDS = 0, 1
+
+
 def test_slide_whole_video(tmp_path):
     root = str(tmp_path)
     make_epic_fixture(root)

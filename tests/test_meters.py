@@ -98,3 +98,26 @@ def test_slide_topk_weighted_multilabel():
             hits = sum(l in topk for l in labels[i] if l >= 0)
             expect += w[i] * hits  # reference counts each matching label slot
         np.testing.assert_allclose(got[ki], expect, rtol=1e-9)
+
+
+def test_epic_val_meter_best_epoch_decision(cfg):
+    """is_best uses strict `>` vs the running max action top-1 (reference
+    utils/meters.py:1183,1322-1323): first nonzero epoch is best, an equal
+    or worse epoch is not, an improvement is again."""
+    from asf_tpu.engine.meters import EPICValMeter
+
+    cfg.SOLVER.MAX_EPOCH = 5
+    meter = EPICValMeter(max_iter=1, cfg=cfg)
+
+    def epoch_with(acc1, epoch):
+        meter.update_stats((acc1, acc1, acc1), (acc1, acc1, acc1), 4)
+        is_best, top1 = meter.log_epoch_stats(epoch)
+        meter.reset()
+        return is_best, top1
+
+    assert epoch_with(0.0, 0)[0] is False  # 0.0 > 0.0 fails (parity)
+    is_best, top1 = epoch_with(25.0, 1)
+    assert is_best is True and top1["action_top1_acc"] == 25.0
+    assert epoch_with(25.0, 2)[0] is False  # tie is not best
+    assert epoch_with(10.0, 3)[0] is False
+    assert epoch_with(30.0, 4)[0] is True
