@@ -32,6 +32,24 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=Non
     )
     all_preds, all_labels = [], []
 
+    # Accuracy scalars stay on device per iteration and are materialised in
+    # LOG_PERIOD windows, mirroring train_epoch (each float() through the
+    # dispatch relay costs ~50 ms, comparable to the eval step itself).
+    log_period = max(1, cfg.LOG_PERIOD)
+    pending = []  # (cur_iter, device-scalar tuple, n_real)
+
+    def flush():
+        for it, acc_d, n_real_i in pending:
+            acc = [float(v) for v in acc_d]
+            if multitask:
+                v1, v5, n1, n5, a1, a5 = acc
+                val_meter.update_stats((v1, n1, a1), (v5, n5, a5), n_real_i)
+            else:
+                k1, k5 = acc
+                val_meter.update_stats(100.0 - k1, 100.0 - k5, n_real_i)
+            val_meter.log_iter_stats(cur_epoch, it)
+        pending.clear()
+
     val_meter.iter_tic()
     for cur_iter, batch in enumerate(val_loader):
         batch, n_real = pad_batch_to(batch, batch_size)
@@ -50,11 +68,7 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=Non
             v1, v5 = metrics.topk_accuracies(x_v, verb, (1, 5))
             n1, n5 = metrics.topk_accuracies(x_n, noun, (1, 5))
             a1, a5 = metrics.multitask_topk_accuracies((x_v, x_n), (verb, noun), (1, 5))
-            val_meter.update_stats(
-                (float(v1), float(n1), float(a1)),
-                (float(v5), float(n5), float(a5)),
-                n_real,
-            )
+            pending.append((cur_iter, (v1, v5, n1, n5, a1, a5), n_real))
             if with_state:
                 x_s = np.asarray(preds[2])[:n_real]
                 if x_s.ndim == 3:  # single-clip state head -> N=1 window
@@ -78,7 +92,7 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=Non
             scores = jnp.asarray(preds)[:n_real]
             labels = batch["labels"]["class_id"][:n_real]
             k1, k5 = metrics.topk_accuracies(scores, labels, (1, 5))
-            val_meter.update_stats(100.0 - float(k1), 100.0 - float(k5), n_real)
+            pending.append((cur_iter, (k1, k5), n_real))
 
         if collect_plots:
             if multitask:
@@ -88,10 +102,12 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh=Non
                 all_preds.append(np.asarray(preds)[:n_real])
                 all_labels.append(np.asarray(batch["labels"]["class_id"][:n_real]))
 
+        if (cur_iter + 1) % log_period == 0:
+            flush()
         val_meter.iter_toc()
-        val_meter.log_iter_stats(cur_epoch, cur_iter)
         val_meter.iter_tic()
 
+    flush()
     if collect_plots and all_preds:
         preds_np = np.concatenate(all_preds)
         labels_np = np.concatenate(all_labels)

@@ -1,0 +1,143 @@
+"""Train-step time breakdown at production geometry (PROFILE.md source).
+
+Components, each timed with a device-side scan chain (two-length difference,
+data dependency between iterations — see bench.py for why host timing lies
+through the dispatch relay):
+
+  dsp_eval    waveform -> log-mel pathways (Pallas bf16, no augmentation)
+  dsp_train   the same + SpecAugment (warp_time_taps + masks)
+  fwd_eval    full waveform -> logits eval forward
+  train_step  full fwd + loss + bwd + SGD update (host-dispatched chain)
+
+Usage: ASF_BENCH_BATCH=128 python scripts/bench_breakdown.py
+"""
+
+import os
+import time
+
+import numpy as np
+
+from asf_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
+ITERS = 10
+
+
+def chain_timer(fn, x0, iters=ITERS):
+    import jax
+    import jax.numpy as jnp
+
+    def chained(x, n):
+        def body(c, _):
+            y = fn(c)
+            return c + 1e-24 * jnp.mean(y).astype(c.dtype), None
+
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(out)
+
+    short = jax.jit(lambda w: chained(w, iters))
+    long = jax.jit(lambda w: chained(w, 3 * iters))
+    float(short(x0))
+    float(long(x0))
+
+    def best(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(f(x0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best(long) - best(short)) / (2 * iters)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from asf_tpu.config import get_cfg
+    from asf_tpu.dsp.specaugment import spec_augment_batch
+    from asf_tpu.engine.optimizer import construct_optimizer
+    from asf_tpu.engine.steps import TrainState, init_state, make_input_pipeline, make_train_step
+    from asf_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFast"
+    cfg.MODEL.NUM_CLASSES = [309]
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.USE_PALLAS_DSP = True
+    cfg.TPU.DSP_PRECISION = "BFLOAT16"
+    cfg.TRAIN.DATASET = "Vggsound"
+
+    pipeline = make_input_pipeline(cfg)
+    model = build_model(cfg)
+    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+    rng = np.random.default_rng(0)
+    wave = jnp.asarray(rng.standard_normal((BATCH, clip)).astype(np.float32) * 0.1)
+    n_valid = jnp.full((BATCH,), clip, jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    paths = pipeline(wave, n_valid, None, train=False)
+    variables = model.init(jax.random.PRNGKey(0), paths, train=False)
+
+    t_dsp_eval = chain_timer(lambda w: pipeline(w, n_valid, None, train=False)[1], wave)
+    t_dsp_train = chain_timer(lambda w: pipeline(w, n_valid, key, train=True)[1], wave)
+
+    def fwd_eval(w):
+        out = model.apply(variables, pipeline(w, n_valid, None, train=False), train=False)
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    t_fwd_eval = chain_timer(fwd_eval, wave)
+
+    # full train step: host-dispatched chain difference (state is the carry)
+    batch = {
+        "waveform": np.asarray(wave),
+        "n_valid": np.asarray(n_valid),
+        "labels": {"class_id": rng.integers(0, 309, (BATCH,)).astype(np.int64)},
+    }
+
+    class _Lazy:
+        tx = None
+
+        def init(self, params):
+            if self.tx is None:
+                self.tx = construct_optimizer(cfg, params)
+            return self.tx.init(params)
+
+    lazy = _Lazy()
+    state = init_state(cfg, model, lazy, jax.random.PRNGKey(0), batch)
+    step_fn = make_train_step(cfg, model, lazy.tx)
+    batch_dev = jax.tree.map(jnp.asarray, batch)
+
+    state, parts, _ = step_fn(state, batch_dev, jnp.float32(0.1), key)  # compile
+    float(parts["loss"])
+
+    def run_steps(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, parts, _ = step_fn(state, batch_dev, jnp.float32(0.1), key)
+        float(parts["loss"])
+        return time.perf_counter() - t0
+
+    run_steps(2)
+    t_step = (run_steps(3 * ITERS) - run_steps(ITERS)) / (2 * ITERS)
+
+    ms = lambda s: s * 1e3  # noqa: E731
+    print(f"batch {BATCH}, bf16 Pallas DSP")
+    print(f"dsp_eval     : {ms(t_dsp_eval):7.2f} ms  (log-mel + pathway pack)")
+    print(f"dsp_train    : {ms(t_dsp_train):7.2f} ms  (+ SpecAugment: {ms(t_dsp_train - t_dsp_eval):.2f})")
+    print(f"fwd_eval     : {ms(t_fwd_eval):7.2f} ms  (trunk+head: {ms(t_fwd_eval - t_dsp_eval):.2f})")
+    print(f"train_step   : {ms(t_step):7.2f} ms  (fwd+bwd+update incl. dsp_train)")
+    print(f"  -> bwd+update approx: {ms(t_step - t_dsp_train - (t_fwd_eval - t_dsp_eval)):.2f} ms")
+    print(f"train clips/s/chip: {BATCH / t_step:.0f}; eval clips/s/chip: {BATCH / t_fwd_eval:.0f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ enable_compilation_cache()
 
 import os
 BATCH = int(os.environ.get("ASF_BENCH_BATCH", 64))
-ITERS = 5
+ITERS = 20
 
 
 def main():
@@ -73,7 +73,10 @@ def main():
         return time.perf_counter() - t0
 
     run(2)  # warm
-    t_short, t_long = run(ITERS), run(3 * ITERS)
+    # best-of-3 on each chain length: single measurements at ~50 ms dispatch
+    # round-trips are noisy enough to go negative on the difference
+    t_short = min(run(ITERS) for _ in range(3))
+    t_long = min(run(3 * ITERS) for _ in range(3))
     dt = (t_long - t_short) / (2 * ITERS)
     print(
         f"train step: {dt*1e3:.2f} ms/step -> {BATCH/dt:.0f} clips/s/chip (fwd+bwd+update)",
