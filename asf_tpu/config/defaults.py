@@ -276,6 +276,11 @@ _C.TPU.USE_PALLAS_DSP = False
 # buckets: wastes compute on short chains but bounds train-step recompiles
 # to one (each bucket shape is a separate multi-minute TPU compile).
 _C.TPU.GRU_SINGLE_BUCKET = False
+# Train steps executed per host dispatch (lax.scan over K stacked batches).
+# Amortises the ~100 ms fresh-buffer dispatch round-trip through the TPU
+# relay over K micro-steps; 1 disables. Epoch tails shorter than K fall back
+# to single-step dispatches.
+_C.TPU.STEPS_PER_DISPATCH = 8
 # When non-empty, capture a jax.profiler trace (view with XProf/TensorBoard)
 # of PROFILE_NUM_ITERS training steps starting at PROFILE_START_ITER of the
 # first epoch. Replaces the reference's fvcore timers + nvidia-smi polling.

@@ -193,18 +193,32 @@ def shuffle_dataset(loader: AsfLoader, cur_epoch: int):
     loader.set_epoch(cur_epoch)
 
 
-def iter_prefetched(loader, cfg, mesh=None):
+def iter_prefetched(loader, cfg, mesh=None, group: int = 1):
     """Iterate ``loader`` with PREFETCH_DEPTH batches uploaded ahead to HBM
-    (batch axis sharded over the mesh's 'data' axis). Depth 0 disables."""
+    (batch axis sharded over the mesh's 'data' axis). Depth 0 disables.
+
+    With ``group=K > 1`` (multi-step dispatch, engine/steps.py
+    ``make_train_multi_step``), consecutive same-shape batches are stacked
+    into macro-batches with a leading (K, ...) axis before upload, and items
+    are yielded TAGGED: ``("macro", batch)`` for full K-groups and
+    ``("single", batch)`` for remainders (epoch tail, GRU bucket-shape
+    changes). Metadata is dropped in grouped mode (train loop discards it)."""
     depth = int(getattr(cfg.TPU, "PREFETCH_DEPTH", 0)) if "TPU" in cfg else 0
-    if depth <= 0:
-        return iter(loader)
-    sharding = None
+    sharding = macro_sharding = None
     if mesh is not None:
-        from asf_tpu.parallel.mesh import batch_sharding
+        from asf_tpu.parallel.mesh import batch_sharding, macro_batch_sharding
 
         sharding = batch_sharding(mesh)
-    return DevicePrefetcher(iter(loader), depth=depth, sharding=sharding)
+        macro_sharding = macro_batch_sharding(mesh)
+    if depth <= 0 and group <= 1:
+        return iter(loader)
+    return DevicePrefetcher(
+        iter(loader),
+        depth=max(1, depth),
+        sharding=sharding,
+        group=group,
+        macro_sharding=macro_sharding,
+    )
 
 
 class DevicePrefetcher:
@@ -214,33 +228,83 @@ class DevicePrefetcher:
     collation and H2D transfer overlap device compute.
     """
 
-    def __init__(self, it: Iterator[Dict[str, Any]], depth: int = 2, sharding=None):
+    def __init__(
+        self,
+        it: Iterator[Dict[str, Any]],
+        depth: int = 2,
+        sharding=None,
+        group: int = 1,
+        macro_sharding=None,
+    ):
         import jax
 
         self._jax = jax
         self.it = it
         self.depth = depth
         self.sharding = sharding
+        self.group = max(1, group)
+        self.macro_sharding = macro_sharding
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
-    def _put_device(self, batch):
+    def _put_device(self, batch, sharding=None):
         jax = self._jax
+        sharding = sharding if sharding is not None else self.sharding
 
         def put(x):
             if isinstance(x, np.ndarray) and x.dtype != object:
-                if self.sharding is not None:
-                    return jax.device_put(x, self.sharding)
+                if sharding is not None:
+                    return jax.device_put(x, sharding)
                 return jax.device_put(x)
             return x
 
         return self._jax.tree.map(put, batch)
 
+    @staticmethod
+    def _shape_sig(batch):
+        return tuple(
+            (path, x.shape, str(x.dtype))
+            for path, x in sorted(
+                (str(p), l)
+                for p, l in _tree_leaves_with_paths(batch)
+                if isinstance(l, np.ndarray)
+            )
+        )
+
+    def _emit_group(self, grp):
+        if len(grp) == self.group:
+            macro = {}
+            for k in grp[0]:
+                if k == "metadata":
+                    continue
+                macro[k] = (
+                    {kk: np.stack([b[k][kk] for b in grp]) for kk in grp[0][k]}
+                    if isinstance(grp[0][k], dict)
+                    else np.stack([b[k] for b in grp])
+                )
+            self.q.put(("macro", self._put_device(macro, self.macro_sharding)))
+        else:  # remainder: epoch tail or a bucket-shape change
+            for b in grp:
+                self.q.put(("single", self._put_device(b)))
+
     def _worker(self):
         try:
-            for batch in self.it:
-                self.q.put(("item", self._put_device(batch)))
+            if self.group <= 1:
+                for batch in self.it:
+                    self.q.put(("single", self._put_device(batch)))
+            else:
+                grp: List[Dict[str, Any]] = []
+                for batch in self.it:
+                    if grp and self._shape_sig(batch) != self._shape_sig(grp[0]):
+                        self._emit_group(grp)
+                        grp = []
+                    grp.append(batch)
+                    if len(grp) == self.group:
+                        self._emit_group(grp)
+                        grp = []
+                if grp:
+                    self._emit_group(grp)
         except Exception as e:  # surface worker errors to the consumer
             self.q.put(("error", e))
         finally:
@@ -253,4 +317,15 @@ class DevicePrefetcher:
                 return
             if kind == "error":
                 raise payload
-            yield payload
+            if self.group > 1:
+                yield kind, payload  # tagged ("macro" | "single", batch)
+            else:
+                yield payload
+
+
+def _tree_leaves_with_paths(batch, prefix=""):
+    for k, v in batch.items():
+        if isinstance(v, dict):
+            yield from _tree_leaves_with_paths(v, prefix + k + ".")
+        else:
+            yield prefix + k, v

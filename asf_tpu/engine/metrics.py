@@ -60,6 +60,42 @@ def multitask_topk_accuracies(preds, labels, ks=(1, 5)):
     return [c / n * 100.0 for c in multitask_topks_correct(preds, labels, ks)]
 
 
+def topk_accuracies_masked(preds, labels, ks, mask):
+    """Top-k accuracies over rows with mask==1, jnp (in-graph).
+
+    Used by the jitted eval step on host-padded batches (the pad rows carry
+    mask 0), replacing the host-side ``[:n_real]`` slice + eager top-k of the
+    per-batch eval loop — each eager jnp op is a dispatch round-trip."""
+    max_k = max(ks)
+    top = _top_idx(preds, max_k)
+    correct = top == labels[:, None]
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(m.sum(), 1.0)
+    return [
+        (correct[:, :k].any(axis=1).astype(jnp.float32) * m).sum() / denom * 100.0
+        for k in ks
+    ]
+
+
+def multitask_topk_accuracies_masked(preds, labels, ks, mask):
+    """Joint verb+noun top-k accuracy over rows with mask==1, jnp."""
+    max_k = int(max(ks))
+    n = labels[0].shape[0]
+    all_correct = jnp.zeros((max_k, n), jnp.int32)
+    for output, label in zip(preds, labels):
+        top = _top_idx(output, max_k).T
+        all_correct = all_correct + (top == label[None, :]).astype(jnp.int32)
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(m.sum(), 1.0)
+    task_count = len(preds)
+    return [
+        ((all_correct[:k].sum(axis=0) >= task_count).astype(jnp.float32) * m).sum()
+        / denom
+        * 100.0
+        for k in ks
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window (untrimmed video) variants — host-side numpy
 # ---------------------------------------------------------------------------

@@ -211,13 +211,13 @@ def make_device_metrics(cfg):
     return compute
 
 
-def make_train_step(cfg, model, tx):
+def _make_step_core(cfg, model, tx):
+    """The un-jitted single train step; shared by the per-batch jit wrapper
+    and the scanned multi-batch dispatch (``make_train_multi_step``)."""
     pipeline = make_input_pipeline(cfg)
     loss_fn_ = make_loss_fn(cfg)
     device_metrics = make_device_metrics(cfg)
-    gru = is_gru_model(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
         paths = pipeline(batch["waveform"], batch["n_valid"], rng_aug, train=True)
@@ -264,6 +264,44 @@ def make_train_step(cfg, model, tx):
     return train_step
 
 
+def make_train_step(cfg, model, tx):
+    return jax.jit(_make_step_core(cfg, model, tx), donate_argnums=(0,))
+
+
+def make_train_multi_step(cfg, model, tx):
+    """K train steps per host dispatch: ``lax.scan`` over a macro-batch whose
+    leaves carry a leading (K, ...) axis, with a (K,) LR vector.
+
+    Why: through the TPU dispatch relay, launching a jitted step with FRESH
+    input buffers costs ~100 ms of host time (vs ~16 ms of device compute at
+    batch 128), so a per-batch host loop caps the real train loop at ~2
+    steps/s no matter how fast the step is. Scanning K micro-steps inside one
+    jitted call amortises the dispatch to ~100/K ms. The reference has no
+    counterpart (eager torch pays per-op dispatch regardless,
+    tools/train_net.py:365-656); this is the standard JAX/TPU pattern of
+    moving the inner loop into the compiled program.
+
+    Per-micro-step rng streams stay distinct because the core folds the rng
+    with ``state.step``, which increments inside the scan carry.
+    Returns (new_state, parts, stats) with (K,)-leading metric leaves.
+    """
+    core = _make_step_core(cfg, model, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def multi_step(state: TrainState, macro_batch, lr_vec, rng):
+        def body(st, xs):
+            batch, lr = xs
+            st2, parts, stats = core(st, batch, lr, rng)
+            return st2, (parts, stats)
+
+        new_state, (parts, stats) = jax.lax.scan(
+            body, state, (macro_batch, lr_vec)
+        )
+        return new_state, parts, stats
+
+    return multi_step
+
+
 def make_eval_step(cfg, model):
     pipeline = make_input_pipeline(cfg)
 
@@ -277,6 +315,69 @@ def make_eval_step(cfg, model):
         return out
 
     return eval_step
+
+
+def _make_eval_metrics_core(cfg, model):
+    """Eval forward + in-graph MASKED top-k accuracies in one traced body.
+
+    The legacy eval loop ran the forward in jit but computed accuracies with
+    eager jnp ops on host-sliced preds — every eager op is a dispatch
+    round-trip through the TPU relay, which dwarfs the 6 ms eval step. The
+    mask marks real rows of host-padded batches (pad rows weigh 0)."""
+    pipeline = make_input_pipeline(cfg)
+    multitask = is_multitask(cfg)
+
+    def core(state: TrainState, batch, mask):
+        paths = pipeline(batch["waveform"], batch["n_valid"], None, train=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = _apply_model(
+            cfg, model, variables, paths, batch, train=False, rngs=None, mutable=False
+        )
+        if multitask:
+            x_v, x_n = out[0], out[1]
+            verb, noun = batch["labels"]["verb"], batch["labels"]["noun"]
+            v1, v5 = metrics_mod.topk_accuracies_masked(x_v, verb, (1, 5), mask)
+            n1, n5 = metrics_mod.topk_accuracies_masked(x_n, noun, (1, 5), mask)
+            a1, a5 = metrics_mod.multitask_topk_accuracies_masked(
+                (x_v, x_n), (verb, noun), (1, 5), mask
+            )
+            acc = {
+                "verb_top1": v1, "verb_top5": v5,
+                "noun_top1": n1, "noun_top5": n5,
+                "action_top1": a1, "action_top5": a5,
+            }
+        else:
+            key = "class_id" if "class_id" in batch["labels"] else "verb"
+            k1, k5 = metrics_mod.topk_accuracies_masked(
+                out, batch["labels"][key], (1, 5), mask
+            )
+            acc = {"top1": k1, "top5": k5}
+        return out, acc
+
+    return core
+
+
+def make_eval_metrics_step(cfg, model):
+    return jax.jit(_make_eval_metrics_core(cfg, model))
+
+
+def make_eval_multi_step(cfg, model):
+    """K eval batches per host dispatch (see make_train_multi_step for why):
+    macro_batch leaves and masks carry a leading (K, ...) axis; returns
+    (preds, acc) with (K, ...)-leading leaves."""
+    core = _make_eval_metrics_core(cfg, model)
+
+    @jax.jit
+    def multi_eval(state: TrainState, macro_batch, masks):
+        def body(carry, xs):
+            batch, mask = xs
+            out, acc = core(state, batch, mask)
+            return carry, (out, acc)
+
+        _, (outs, accs) = jax.lax.scan(body, None, (macro_batch, masks))
+        return outs, accs
+
+    return multi_eval
 
 
 def init_state(cfg, model, tx, rng, example_batch) -> TrainState:

@@ -33,7 +33,10 @@ from .steps import (
     has_state_head,
     init_state,
     is_multitask,
+    make_eval_metrics_step,
+    make_eval_multi_step,
     make_eval_step,
+    make_train_multi_step,
     make_train_step,
 )
 
@@ -68,11 +71,12 @@ def check_state_alerts(parts_h, stats_h, scalar_logger):
 
 def train_epoch(
     train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng,
-    scalar_logger=None,
+    scalar_logger=None, multi_step=None,
 ):
     multitask = is_multitask(cfg)
     data_size = len(train_loader)
     log_period = max(1, cfg.LOG_PERIOD)
+    group = max(1, int(cfg.TPU.STEPS_PER_DISPATCH)) if multi_step is not None else 1
 
     profile_dir = cfg.TPU.PROFILE_DIR if cur_epoch == 0 else ""
     prof_start = min(cfg.TPU.PROFILE_START_ITER, max(0, len(train_loader) - 2))
@@ -83,57 +87,78 @@ def train_epoch(
     # the meter once per LOG_PERIOD so the dispatch pipeline never blocks on
     # a per-step host read (round-1 weak #3; the reference host-syncs every
     # iteration, tools/train_net.py:500-607).
-    pending = []  # (cur_iter, parts, stats, lr, mb_size)
+    pending = []  # (first_iter, parts, stats, [lr]*k, mb_size, k)
 
     def flush():
         if not pending:
             return
-        host = jax.device_get([(p, s) for _, p, s, _, _ in pending])
-        for (cur_it, _, _, lr, mb_size), (parts_d, stats_d) in zip(pending, host):
-            parts_h = {k: float(v) for k, v in parts_d.items()}
-            stats_h = {k: float(v) for k, v in stats_d.items()}
-            check_nan_losses(parts_h["loss"])
-            check_state_alerts(parts_h, stats_h, scalar_logger)
-            if multitask:
-                train_meter.update_stats(
-                    (stats_h["verb_top1"], stats_h["noun_top1"], stats_h["action_top1"]),
-                    (stats_h["verb_top5"], stats_h["noun_top5"], stats_h["action_top5"]),
-                    parts_h,
-                    lr,
-                    mb_size,
-                )
-            else:
-                train_meter.update_stats(
-                    stats_h["top1_err"], stats_h["top5_err"], parts_h["loss"], lr, mb_size
-                )
-            train_meter.log_iter_stats(cur_epoch, cur_it)
-            if scalar_logger is not None and cur_it % log_period == 0:
-                scalars = {f"Train/{k}": v for k, v in parts_h.items()}
-                scalars["Train/lr"] = lr
-                scalar_logger.log(scalars, global_step=data_size * cur_epoch + cur_it)
+        host = jax.device_get([(p, s) for _, p, s, _, _, _ in pending])
+        for (it0, _, _, lrs, mb_size, k), (parts_d, stats_d) in zip(pending, host):
+            for i in range(k):
+                pick = (lambda v: float(v[i])) if k > 1 else float
+                parts_h = {key: pick(v) for key, v in parts_d.items()}
+                stats_h = {key: pick(v) for key, v in stats_d.items()}
+                cur_it, lr = it0 + i, lrs[i]
+                check_nan_losses(parts_h["loss"])
+                check_state_alerts(parts_h, stats_h, scalar_logger)
+                if multitask:
+                    train_meter.update_stats(
+                        (stats_h["verb_top1"], stats_h["noun_top1"], stats_h["action_top1"]),
+                        (stats_h["verb_top5"], stats_h["noun_top5"], stats_h["action_top5"]),
+                        parts_h,
+                        lr,
+                        mb_size,
+                    )
+                else:
+                    train_meter.update_stats(
+                        stats_h["top1_err"], stats_h["top5_err"], parts_h["loss"], lr, mb_size
+                    )
+                train_meter.log_iter_stats(cur_epoch, cur_it)
+                if scalar_logger is not None and cur_it % log_period == 0:
+                    scalars = {f"Train/{k2}": v for k2, v in parts_h.items()}
+                    scalars["Train/lr"] = lr
+                    scalar_logger.log(scalars, global_step=data_size * cur_epoch + cur_it)
         pending.clear()
 
+    def lr_at(it):
+        return lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(it) / data_size)
+
+    cur_iter = 0
     train_meter.iter_tic()
-    for cur_iter, batch in enumerate(iter_prefetched(train_loader, cfg, mesh)):
-        if profile_dir and not tracing and cur_iter == prof_start:
+    for item in iter_prefetched(train_loader, cfg, mesh, group=group):
+        if group > 1:
+            kind, batch = item
+        else:
+            kind, batch = "single", item
+        if profile_dir and not tracing and cur_iter >= prof_start:
             jax.profiler.start_trace(profile_dir)
             tracing = True
-        batch.pop("metadata", None)
-        batch = shard_batch(batch, mesh)
         train_meter.data_toc()
 
-        lr = lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(cur_iter) / data_size)
-        state, parts, stats = train_step(state, batch, jnp.float32(lr), rng)
+        if kind == "macro":
+            k = batch["waveform"].shape[0]
+            lrs = [lr_at(cur_iter + i) for i in range(k)]
+            state, parts, stats = multi_step(
+                state, batch, jnp.asarray(np.asarray(lrs, np.float32)), rng
+            )
+            mb_size = batch["waveform"].shape[1]
+        else:
+            k = 1
+            batch.pop("metadata", None)
+            batch = shard_batch(batch, mesh)
+            lrs = [lr_at(cur_iter)]
+            state, parts, stats = train_step(state, batch, jnp.float32(lrs[0]), rng)
+            mb_size = batch["waveform"].shape[0]
 
-        if tracing and cur_iter >= prof_start + prof_n:
+        if tracing and cur_iter + k > prof_start + prof_n:
             jax.block_until_ready(parts["loss"])
             jax.profiler.stop_trace()
             logger.info("Saved profiler trace to %s", profile_dir)
             tracing, profile_dir = False, ""
 
-        mb_size = batch["labels"][next(iter(batch["labels"]))].shape[0]
-        pending.append((cur_iter, parts, stats, lr, mb_size))
-        if (cur_iter + 1) % log_period == 0:
+        pending.append((cur_iter, parts, stats, lrs, mb_size, k))
+        cur_iter += k
+        if len(pending) * max(1, group) >= log_period:
             flush()
 
         train_meter.iter_toc()
@@ -259,7 +284,18 @@ def train(cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
     train_step = make_train_step(cfg, model, tx)
+    multi_step = (
+        make_train_multi_step(cfg, model, tx)
+        if int(cfg.TPU.STEPS_PER_DISPATCH) > 1
+        else None
+    )
     eval_step = make_eval_step(cfg, model)
+    eval_metrics_step = make_eval_metrics_step(cfg, model)
+    eval_multi_step = (
+        make_eval_multi_step(cfg, model)
+        if int(cfg.TPU.STEPS_PER_DISPATCH) > 1
+        else None
+    )
 
     train_meter = build_train_meter(cfg, len(train_loader))
     val_meter = build_val_meter(cfg, len(val_loader))
@@ -273,7 +309,7 @@ def train(cfg):
         shuffle_dataset(train_loader, cur_epoch)
         state = train_epoch(
             train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, rng,
-            scalar_logger=scalar_logger,
+            scalar_logger=scalar_logger, multi_step=multi_step,
         )
 
         if cfg.BN.USE_PRECISE_STATS:
@@ -291,6 +327,8 @@ def train(cfg):
             is_best, top1 = eval_epoch(
                 val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh,
                 scalar_logger=scalar_logger,
+                metrics_step=eval_metrics_step,
+                multi_metrics_step=eval_multi_step,
             )
             if top1:
                 scalar_logger.log(

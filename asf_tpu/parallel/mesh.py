@@ -80,6 +80,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def macro_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for stacked multi-step batches: leading axis is the step
+    index K (unsharded scan axis), axis 1 is the per-step batch split over
+    'data' (see engine/steps.py make_train_multi_step)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -20,7 +20,7 @@ from asf_tpu.utils.jax_setup import enable_compilation_cache
 enable_compilation_cache()
 
 BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
-N_CLIPS = int(os.environ.get("ASF_BENCH_CLIPS", BATCH * 8))
+N_CLIPS = int(os.environ.get("ASF_BENCH_CLIPS", BATCH * 32))
 ROOT = "/tmp/bench_train_loop"
 
 
@@ -55,7 +55,12 @@ def main():
     from asf_tpu.config import get_cfg
     from asf_tpu.data.loader import construct_loader
     from asf_tpu.engine.optimizer import construct_optimizer
-    from asf_tpu.engine.steps import TrainState, init_state, make_train_step
+    from asf_tpu.engine.steps import (
+        TrainState,
+        init_state,
+        make_train_multi_step,
+        make_train_step,
+    )
     from asf_tpu.engine.train_loop import build_train_meter, train_epoch
     from asf_tpu.models import build_model
     from asf_tpu.parallel.mesh import make_mesh, param_shardings, replicate_tree
@@ -106,16 +111,24 @@ def main():
         step=state.step,
     )
     train_step = make_train_step(cfg, model, lazy.tx)
+    k = int(cfg.TPU.STEPS_PER_DISPATCH)
+    multi_step = make_train_multi_step(cfg, model, lazy.tx) if k > 1 else None
     meter = build_train_meter(cfg, len(loader))
+    print(f"STEPS_PER_DISPATCH={k}")
 
     t0 = time.time()
-    state = train_epoch(loader, state, train_step, meter, 0, cfg, mesh, rng)
+    state = train_epoch(
+        loader, state, train_step, meter, 0, cfg, mesh, rng, multi_step=multi_step
+    )
     jax.block_until_ready(state.params)
     print(f"epoch 0 (compile + run): {time.time() - t0:.1f}s")
 
-    for epoch in (1, 2):
+    for epoch in (1, 2, 3):
         t0 = time.perf_counter()
-        state = train_epoch(loader, state, train_step, meter, epoch, cfg, mesh, rng)
+        state = train_epoch(
+            loader, state, train_step, meter, epoch, cfg, mesh, rng,
+            multi_step=multi_step,
+        )
         jax.block_until_ready(state.params)
         dt = time.perf_counter() - t0
         clips = len(loader) * BATCH
