@@ -276,6 +276,10 @@ _C.TPU.USE_PALLAS_DSP = False
 # buckets: wastes compute on short chains but bounds train-step recompiles
 # to one (each bucket shape is a separate multi-minute TPU compile).
 _C.TPU.GRU_SINGLE_BUCKET = False
+# Ship 16-bit-PCM waveforms to the device as raw int16 and apply the /32768
+# scale in the jitted input pipeline — halves host copy + H2D bytes
+# (bit-identical to the host conversion). Applies to wav-backed datasets.
+_C.TPU.INT16_TRANSFER = True
 # Train steps executed per host dispatch (lax.scan over K stacked batches).
 # Amortises the ~100 ms fresh-buffer dispatch round-trip through the TPU
 # relay over K micro-steps; 1 disables. Epoch tails shorter than K fall back

@@ -245,8 +245,37 @@ class DevicePrefetcher:
         self.group = max(1, group)
         self.macro_sharding = macro_sharding
         self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._consume_fns = {}
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
+
+    def _force_transfer(self, batch):
+        """Materialise the waveform on device NOW, on this thread.
+
+        Through the TPU dispatch relay, ``device_put`` only STAGES the host
+        payload — the ~55 MB/s wire transfer happens lazily when a dispatch
+        first consumes the buffer, which would serialise it with the train
+        step on the main thread. Dispatching a trivial reduction here (and
+        blocking on it) pays the wire on the prefetch thread instead, so
+        transfer overlaps compute. block_until_ready alone does NOT force it.
+        """
+        jax = self._jax
+        w = batch.get("waveform") if isinstance(batch, dict) else None
+        if w is None or isinstance(w, np.ndarray):
+            return
+        try:
+            key = (w.shape, str(w.dtype))
+            fn = self._consume_fns.get(key)
+            if fn is None:
+                import jax.numpy as jnp
+
+                fn = jax.jit(
+                    lambda a: jnp.sum(jnp.ravel(a)[:8].astype(jnp.float32))
+                )
+                self._consume_fns[key] = fn
+            jax.block_until_ready(fn(w))
+        except Exception:
+            pass  # never let the warm-path optimisation kill the loader
 
     def _put_device(self, batch, sharding=None):
         jax = self._jax
@@ -283,16 +312,22 @@ class DevicePrefetcher:
                     if isinstance(grp[0][k], dict)
                     else np.stack([b[k] for b in grp])
                 )
-            self.q.put(("macro", self._put_device(macro, self.macro_sharding)))
+            dev = self._put_device(macro, self.macro_sharding)
+            self._force_transfer(dev)
+            self.q.put(("macro", dev))
         else:  # remainder: epoch tail or a bucket-shape change
             for b in grp:
-                self.q.put(("single", self._put_device(b)))
+                dev = self._put_device(b)
+                self._force_transfer(dev)
+                self.q.put(("single", dev))
 
     def _worker(self):
         try:
             if self.group <= 1:
                 for batch in self.it:
-                    self.q.put(("single", self._put_device(batch)))
+                    dev = self._put_device(batch)
+                    self._force_transfer(dev)
+                    self.q.put(("single", dev))
             else:
                 grp: List[Dict[str, Any]] = []
                 for batch in self.it:

@@ -20,11 +20,16 @@ from asf_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def load_wav(path: str) -> tuple[np.ndarray, int]:
+def load_wav(path: str, keep_int16: bool = False) -> tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
+        if keep_int16 and data.ndim == 1:
+            # int16 transfer path: the device input pipeline applies the
+            # identical /32768 scale (engine/steps.py make_input_pipeline),
+            # halving host copy + H2D bytes on the way there.
+            return data, sr
         data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
         data = data.astype(np.float32) / 2147483648.0
@@ -46,6 +51,7 @@ class Vggsound:
         self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS if mode == "test" else 1
         self.clip_size = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS))
         self.clip_samples = self.clip_size - 1
+        self.int16 = bool(cfg.TPU.INT16_TRANSFER) if "TPU" in cfg else False
         self._epoch = 0
         self._construct_loader()
 
@@ -75,7 +81,7 @@ class Vggsound:
         path = os.path.join(
             self.cfg.VGGSOUND.AUDIO_DATA_DIR, record["video"][:-4] + ".wav"
         )
-        samples, sr = load_wav(path)
+        samples, sr = load_wav(path, keep_int16=self.int16)
         assert sr == self.cfg.AUDIO_DATA.SAMPLING_RATE, (
             f"Audio sampling rate ({sr}) does not match target "
             f"({self.cfg.AUDIO_DATA.SAMPLING_RATE})"
@@ -90,7 +96,7 @@ class Vggsound:
             )
             clip = samples[int(start) : int(end)]
 
-        wave = np.zeros(self.clip_samples, np.float32)
+        wave = np.zeros(self.clip_samples, samples.dtype)
         n = min(len(clip), self.clip_samples)
         wave[:n] = clip[:n]
         return {

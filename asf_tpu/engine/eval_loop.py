@@ -138,7 +138,7 @@ def _eval_fused(
     pending = []  # (iter0, accs_dev, outs_dev|None, [hbatch|None], [n_real])
 
     def put(x, sh):
-        return jax.device_put(x, sh) if sh is not None else jnp.asarray(x)
+        return jax.device_put(x, sh) if sh is not None else jax.tree.map(jnp.asarray, x)
 
     def flush():
         for it0, accs_d, outs_d, hbatches, n_reals in pending:

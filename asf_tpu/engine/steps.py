@@ -71,6 +71,12 @@ def make_input_pipeline(cfg):
     t_out = cfg.AUDIO_DATA.NUM_FRAMES
 
     def pipeline(waveform, n_valid, rng: Optional[jax.Array] = None, train: bool = False):
+        if waveform.dtype == jnp.int16:
+            # int16 transfer path (TPU.INT16_TRANSFER): wavs are 16-bit PCM
+            # on disk, so the loader ships raw samples at half the host-copy
+            # and H2D bytes; this scale matches load_wav's host conversion
+            # bit-for-bit (data/vggsound.py:26-28).
+            waveform = waveform.astype(jnp.float32) / 32768.0
         gru = waveform.ndim == 3
         if gru:
             b, n, s = waveform.shape
@@ -336,22 +342,30 @@ def _make_eval_metrics_core(cfg, model):
         if multitask:
             x_v, x_n = out[0], out[1]
             verb, noun = batch["labels"]["verb"], batch["labels"]["noun"]
-            v1, v5 = metrics_mod.topk_accuracies_masked(x_v, verb, (1, 5), mask)
-            n1, n5 = metrics_mod.topk_accuracies_masked(x_n, noun, (1, 5), mask)
-            a1, a5 = metrics_mod.multitask_topk_accuracies_masked(
-                (x_v, x_n), (verb, noun), (1, 5), mask
-            )
-            acc = {
-                "verb_top1": v1, "verb_top5": v5,
-                "noun_top1": n1, "noun_top5": n5,
-                "action_top1": a1, "action_top5": a5,
-            }
+            if verb.ndim > 1:
+                # sliding-window multi-label batches (EpicKitchensSlide):
+                # per-batch top-k is undefined; the slide test meter computes
+                # its weighted variant on the host from the raw scores
+                acc = {}
+            else:
+                v1, v5 = metrics_mod.topk_accuracies_masked(x_v, verb, (1, 5), mask)
+                n1, n5 = metrics_mod.topk_accuracies_masked(x_n, noun, (1, 5), mask)
+                a1, a5 = metrics_mod.multitask_topk_accuracies_masked(
+                    (x_v, x_n), (verb, noun), (1, 5), mask
+                )
+                acc = {
+                    "verb_top1": v1, "verb_top5": v5,
+                    "noun_top1": n1, "noun_top5": n5,
+                    "action_top1": a1, "action_top5": a5,
+                }
         else:
             key = "class_id" if "class_id" in batch["labels"] else "verb"
-            k1, k5 = metrics_mod.topk_accuracies_masked(
-                out, batch["labels"][key], (1, 5), mask
-            )
-            acc = {"top1": k1, "top5": k5}
+            labels = batch["labels"][key]
+            if labels.ndim > 1:
+                acc = {}
+            else:
+                k1, k5 = metrics_mod.topk_accuracies_masked(out, labels, (1, 5), mask)
+                acc = {"top1": k1, "top5": k5}
         return out, acc
 
     return core

@@ -25,40 +25,107 @@ from asf_tpu.utils.logging import get_logger, setup_logging
 from . import metrics
 from .meters import EPICTestMeter, EPICTestMeterSlide, TestMeter
 from .optimizer import construct_optimizer
-from .steps import TrainState, init_state, is_multitask, make_eval_step
+from .steps import (
+    TrainState,
+    init_state,
+    is_multitask,
+    make_eval_multi_step,
+    make_eval_step,
+)
 
 logger = get_logger(__name__)
 
 
-def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh):
+def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eval=None):
+    """Score every test clip. With ``multi_eval`` (make_eval_multi_step),
+    K same-shape batches are scanned per host dispatch and scores fetched per
+    group — per-batch dispatch costs ~100 ms of host time through the TPU
+    relay (PROFILE.md §2), an order of magnitude above the eval forward."""
     multitask = is_multitask(cfg)
     batch_size = test_loader.batch_size
-    test_meter.iter_tic()
-    for cur_iter, batch in enumerate(test_loader):
-        batch, n_real = pad_batch_to(batch, batch_size)
-        metadata = batch.pop("metadata", None)
-        sharded = shard_batch(batch, mesh)
-        test_meter.data_toc()
+    group = max(1, int(cfg.TPU.STEPS_PER_DISPATCH)) if multi_eval is not None else 1
 
-        preds = eval_step(state, sharded)
+    pending = []  # (iter0, outs_dev, [(n_real, metadata, labels, clip_ids)])
 
-        clip_ids = batch["index"][:n_real]
+    def update_meter(cur_it, preds_h, n_real, metadata, labels, clip_ids):
         if multitask:
-            x_v = np.asarray(preds[0])[:n_real]
-            x_n = np.asarray(preds[1])[:n_real]
+            x_v = np.asarray(preds_h[0])[:n_real]
+            x_n = np.asarray(preds_h[1])[:n_real]
             test_meter.update_stats(
                 (x_v, x_n),
-                (batch["labels"]["verb"][:n_real], batch["labels"]["noun"][:n_real]),
+                (labels["verb"][:n_real], labels["noun"][:n_real]),
                 {k: v[:n_real] for k, v in metadata.items()} if metadata else None,
                 clip_ids,
             )
         else:
-            scores = np.asarray(preds)[:n_real]
-            test_meter.update_stats(scores, batch["labels"]["class_id"][:n_real], clip_ids)
-
+            scores = np.asarray(preds_h)[:n_real]
+            test_meter.update_stats(scores, labels["class_id"][:n_real], clip_ids)
         test_meter.iter_toc()
-        test_meter.log_iter_stats(cur_iter)
+        test_meter.log_iter_stats(cur_it)
         test_meter.iter_tic()
+
+    def flush():
+        for it0, outs_d, metas in pending:
+            outs = jax.device_get(outs_d)
+            k = len(metas)
+
+            def at(i):
+                if isinstance(outs, (tuple, list)):
+                    return [o[i] if k > 1 else o for o in outs]
+                return outs[i] if k > 1 else outs
+
+            for i, (n_real, metadata, labels, clip_ids) in enumerate(metas):
+                update_meter(it0 + i, at(i), n_real, metadata, labels, clip_ids)
+        pending.clear()
+
+    cur_iter = 0
+
+    def dispatch(grp):
+        nonlocal cur_iter
+        k = len(grp)
+        metas = [
+            (n_real, metadata, b["labels"], b["index"][:n_real])
+            for b, n_real, metadata in grp
+        ]
+        if k > 1:
+            from asf_tpu.parallel.mesh import macro_batch_sharding
+            from .eval_loop import _stack_batches
+
+            macro = _stack_batches([b for b, _, _ in grp])
+            masks = np.zeros((k, batch_size), np.float32)
+            for i, (_, nr, _) in enumerate(grp):
+                masks[i, :nr] = 1.0
+            ms = macro_batch_sharding(mesh)
+            outs, _ = multi_eval(
+                state, jax.device_put(macro, ms), jax.device_put(masks, ms)
+            )
+        else:
+            outs = eval_step(state, shard_batch(grp[0][0], mesh))
+        pending.append((cur_iter, outs, metas))
+        cur_iter += k
+        if len(pending) >= 2:
+            flush()
+
+    grp = []
+    sig = None
+    test_meter.iter_tic()
+    for batch in test_loader:
+        batch, n_real = pad_batch_to(batch, batch_size)
+        metadata = batch.pop("metadata", None)
+        test_meter.data_toc()
+        bsig = tuple(sorted((k, v.shape) for k, v in batch.items() if hasattr(v, "shape")))
+        if grp and bsig != sig:
+            for item in grp:
+                dispatch([item])
+            grp = []
+        sig = bsig
+        grp.append((batch, n_real, metadata))
+        if len(grp) == group:
+            dispatch(grp)
+            grp = []
+    for item in grp:  # tail
+        dispatch([item])
+    flush()
 
     return test_meter.finalize_metrics()
 
@@ -115,6 +182,11 @@ def test(cfg):
     state = cu.load_test_checkpoint(cfg, state)
 
     eval_step = make_eval_step(cfg, model)
+    multi_eval = (
+        make_eval_multi_step(cfg, model)
+        if int(cfg.TPU.STEPS_PER_DISPATCH) > 1
+        else None
+    )
 
     multitask = is_multitask(cfg)
     dataset = test_loader.dataset
@@ -145,7 +217,9 @@ def test(cfg):
             ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
         )
 
-    results = perform_test(test_loader, state, eval_step, meter, cfg, mesh)
+    results = perform_test(
+        test_loader, state, eval_step, meter, cfg, mesh, multi_eval=multi_eval
+    )
     _save_scores(cfg, results, multitask)
 
     if not multitask and cfg.DATA.MULTI_LABEL is False and cfg.TEST.DATASET.lower() == "vggsound":

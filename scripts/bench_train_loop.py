@@ -21,11 +21,15 @@ enable_compilation_cache()
 
 BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
 N_CLIPS = int(os.environ.get("ASF_BENCH_CLIPS", BATCH * 32))
-ROOT = "/tmp/bench_train_loop"
+ROOT = "/tmp/bench_train_loop_v2"
 
 
 def make_dataset(cfg):
-    """Synthetic VGG-Sound: N_CLIPS wavs at the production clip length."""
+    """Synthetic VGG-Sound: N_CLIPS wavs at the production clip length.
+
+    Every clip is INDEPENDENT noise: the dispatch relay content-dedups
+    repeated payloads, so derived-from-one-base data would fake the H2D
+    wire cost that dominates this loop (~55 MB/s measured)."""
     import pandas as pd
     from scipy.io import wavfile
 
@@ -35,13 +39,11 @@ def make_dataset(cfg):
     n = int(round(sr * cfg.AUDIO_DATA.CLIP_SECS)) + 8
     rng = np.random.default_rng(0)
     rows = []
-    base = (rng.standard_normal(n) * 3000).astype(np.int16)
     for i in range(N_CLIPS):
         name = f"clip{i:05d}.mp4"
         wav = os.path.join(audio_dir, name[:-4] + ".wav")
         if not os.path.exists(wav):
-            # cheap per-clip variation without regenerating noise
-            wavfile.write(wav, sr, np.roll(base, i * 7))
+            wavfile.write(wav, sr, (rng.standard_normal(n) * 3000).astype(np.int16))
         rows.append({"video": name, "class_id": int(rng.integers(0, 309))})
     pkl = os.path.join(ROOT, "list.pkl")
     pd.to_pickle(pd.DataFrame(rows), pkl)

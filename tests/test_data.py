@@ -225,3 +225,40 @@ def test_slide_action_bounds_and_per_instance(tmp_path):
     cfg.TEST.SLIDE.HOP_SIZE = 1.0
     ds2 = build_dataset("EpicKitchensSlide", cfg, "test")
     assert len(ds2) >= len(ds)  # sliding creates >= one window per annotation
+
+
+def test_vgg_int16_transfer_parity(tmp_path):
+    """TPU.INT16_TRANSFER ships raw int16 PCM; the device-side /32768 in the
+    input pipeline must reproduce the f32 host conversion bit-for-bit."""
+    import jax.numpy as jnp
+
+    from asf_tpu.config import get_cfg
+    from asf_tpu.engine.steps import make_input_pipeline
+
+    root = str(tmp_path)
+    audio_dir, pkl = make_vgg_fixture(root)
+    cfg = get_cfg()
+    cfg.VGGSOUND.AUDIO_DATA_DIR = audio_dir
+    cfg.VGGSOUND.ANNOTATIONS_DIR = root
+    cfg.VGGSOUND.TEST_LIST = cfg.VGGSOUND.TRAIN_LIST = cfg.VGGSOUND.VAL_LIST = "test.pkl"
+    cfg.AUDIO_DATA.NUM_FRAMES = 64
+    cfg.AUDIO_DATA.NUM_FREQUENCIES = 32
+    cfg.TPU.DSP_PRECISION = "HIGHEST"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    cfg.TPU.INT16_TRANSFER = True
+    ds16 = build_dataset("Vggsound", cfg, "val")
+    cfg.TPU.INT16_TRANSFER = False
+    dsf = build_dataset("Vggsound", cfg, "val")
+
+    i16, if32 = ds16[0], dsf[0]
+    assert i16["waveform"].dtype == np.int16
+    assert if32["waveform"].dtype == np.float32
+    assert int(i16["n_valid"]) == int(if32["n_valid"])
+
+    pipeline = make_input_pipeline(cfg)
+    nv = np.asarray([i16["n_valid"]], np.int32)
+    p16 = pipeline(jnp.asarray(i16["waveform"][None]), jnp.asarray(nv), None, train=False)
+    pf = pipeline(jnp.asarray(if32["waveform"][None]), jnp.asarray(nv), None, train=False)
+    for a, b in zip(p16, pf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,101 @@
+"""Fused eval path (in-graph masked metrics + K-batch scan dispatch,
+engine/eval_loop.py _eval_fused) must produce the same epoch stats as the
+legacy per-batch path, including padded tail batches."""
+
+import numpy as np
+import jax
+import pytest
+
+from asf_tpu.config import get_cfg
+
+
+def _cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFast"
+    cfg.MODEL.NUM_CLASSES = [6]
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.RESNET.DEPTH = 26
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.AUDIO_DATA.SAMPLING_RATE = 8000
+    cfg.AUDIO_DATA.N_FFT = 256
+    cfg.AUDIO_DATA.CLIP_SECS = 0.32
+    cfg.AUDIO_DATA.NUM_FRAMES = 64
+    cfg.AUDIO_DATA.NUM_FREQUENCIES = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DSP_PRECISION = "HIGHEST"
+    cfg.TPU.STEPS_PER_DISPATCH = 2
+    cfg.TRAIN.DATASET = "Vggsound"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.LOG_PERIOD = 2
+    return cfg
+
+
+class _Loader(list):
+    batch_size = 4
+
+
+def test_fused_eval_matches_legacy():
+    from asf_tpu.engine.eval_loop import build_val_meter, eval_epoch
+    from asf_tpu.engine.steps import (
+        init_state,
+        make_eval_metrics_step,
+        make_eval_multi_step,
+        make_eval_step,
+    )
+    from asf_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+
+    def mk(b, off):
+        return {
+            "waveform": (rng.standard_normal((b, clip)) * 0.1).astype(np.float32),
+            "n_valid": np.full((b,), clip, np.int32),
+            "labels": {"class_id": rng.integers(0, 6, (b,)).astype(np.int32)},
+            "index": np.arange(b, dtype=np.int32) + off,
+            "metadata": {},
+        }
+
+    # 5 batches: 2 macro pairs of 4 + one ragged tail of 3 (padded)
+    batches = [mk(4, 0), mk(4, 4), mk(4, 8), mk(4, 12), mk(3, 16)]
+
+    class _Lazy:
+        def init(self, params):
+            import optax
+
+            return optax.sgd(0.1).init(params)
+
+    state = init_state(cfg, model, _Lazy(), jax.random.PRNGKey(0), batches[0])
+
+    eval_step = make_eval_step(cfg, model)
+    meter_a = build_val_meter(cfg, len(batches))
+    _, top1_a = eval_epoch(
+        _Loader([{k: (dict(v) if isinstance(v, dict) else v.copy()) for k, v in b.items()} for b in batches]),
+        state, eval_step, meter_a, 0, cfg,
+    )
+
+    metrics_step = make_eval_metrics_step(cfg, model)
+    multi = make_eval_multi_step(cfg, model)
+    meter_b = build_val_meter(cfg, len(batches))
+    _, top1_b = eval_epoch(
+        _Loader([{k: (dict(v) if isinstance(v, dict) else v.copy()) for k, v in b.items()} for b in batches]),
+        state, None, meter_b, 0, cfg,
+        metrics_step=metrics_step, multi_metrics_step=multi,
+    )
+
+    assert set(top1_a.keys()) == set(top1_b.keys())
+    for k in top1_a:
+        np.testing.assert_allclose(
+            float(top1_a[k]), float(top1_b[k]), rtol=1e-5, atol=1e-4, err_msg=k
+        )
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
