@@ -136,6 +136,13 @@ class AsfLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         if self.world_size > 1:  # multi-host shard split (DCN-level)
+            # Wrap-pad so every rank yields the SAME number of items (torch
+            # DistributedSampler semantics, reference datasets/utils.py:87):
+            # under multi-host jit, unequal batch counts desync the hosts at
+            # the first collective of the extra batch.
+            total = -(-n // self.world_size) * self.world_size
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
             idx = idx[self.rank :: self.world_size]
         return idx
 
@@ -284,6 +291,13 @@ class DevicePrefetcher:
         def put(x):
             if isinstance(x, np.ndarray) and x.dtype != object:
                 if sharding is not None:
+                    from asf_tpu.parallel.mesh import mesh_spans_processes
+
+                    if mesh_spans_processes(sharding.mesh):
+                        # Multi-host: this process holds only ITS rank-shard
+                        # of the global batch (rank-split loader); assemble a
+                        # global array from the per-process slices.
+                        return jax.make_array_from_process_local_data(sharding, x)
                     return jax.device_put(x, sharding)
                 return jax.device_put(x)
             return x

@@ -156,9 +156,16 @@ def test(cfg):
     np.random.seed(cfg.RNG_SEED)
     logger.info("Test with config:\n%s", cfg.dump())
 
-    mesh = make_mesh(cfg)
+    # Multi-host: every host scores the FULL test set on a host-local mesh
+    # and writes identical results — the single-controller replacement for
+    # the reference's per-iteration pred all_gather (tools/test_net.py:196-203),
+    # whose pickled-gloo metadata gathers have no place under jit.
+    multihost = jax.process_count() > 1
+    mesh = make_mesh(cfg, local=multihost)
     model = build_model(cfg)
     test_loader = construct_loader(cfg, "test")
+    if multihost:
+        test_loader.rank, test_loader.world_size = 0, 1
 
     example = next(iter(test_loader))
     example.pop("metadata", None)

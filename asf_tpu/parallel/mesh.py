@@ -20,11 +20,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(cfg=None, num_devices: Optional[int] = None) -> Mesh:
+def make_mesh(cfg=None, num_devices: Optional[int] = None, local: bool = False) -> Mesh:
     """Data-parallel mesh, optionally 2-D (data, model) for tensor
     parallelism. NUM_GPUS (reference flag) caps local devices; 0 or
-    >available means 'use all'."""
-    devices = jax.devices()
+    >available means 'use all'. ``local=True`` builds a host-local mesh
+    (this process's devices only) — used by the test loop under multi-host,
+    where every host scores the full test set independently instead of
+    gathering predictions (reference all_gather, tools/test_net.py:196-203)."""
+    devices = jax.local_devices() if local else jax.devices()
     n = num_devices
     mp = 1
     if cfg is not None and "TPU" in cfg:
@@ -80,6 +83,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices from more than one host process —
+    batch arrays must then be assembled from per-process rank-shards via
+    ``jax.make_array_from_process_local_data`` instead of ``device_put``."""
+    try:
+        return len({d.process_index for d in mesh.devices.flat}) > 1
+    except Exception:
+        return False
+
+
 def macro_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for stacked multi-step batches: leading axis is the step
     index K (unsharded scan axis), axis 1 is the per-step batch split over
@@ -92,11 +105,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place batch arrays with the leading axis split over 'data'."""
+    """Place batch arrays with the leading axis split over 'data'.
+
+    Multi-host: each process passes its rank-shard of the global batch (the
+    loader rank-splits indices), so the global array is assembled from
+    per-process slices instead of device_put (which expects global data)."""
     bs = batch_sharding(mesh)
+    multiproc = mesh_spans_processes(mesh)
 
     def put(x):
         if isinstance(x, np.ndarray) and x.dtype != object and x.ndim >= 1:
+            if multiproc:
+                return jax.make_array_from_process_local_data(bs, x)
             return jax.device_put(x, bs)
         return x
 

@@ -167,27 +167,33 @@ def test_loader_item_determinism_across_workers(tmp_path):
 
 
 def test_loader_rank_sharding(tmp_path):
-    """Multi-host shard split: disjoint, exhaustive, equal batch counts
-    (DistributedSampler parity, reference datasets/utils.py:87)."""
+    """Multi-host shard split: exhaustive, EQUAL per-rank counts via
+    wrap-padding (DistributedSampler parity, reference datasets/utils.py:87
+    — unequal counts would desync hosts at the first collective of the
+    extra batch), and disjoint whenever the split is even."""
     root = str(tmp_path)
     make_epic_fixture(root)
     cfg = epic_cfg(root)
 
     for world in (2, 4):
         seen = []
-        lens = []
+        counts = []
         for rank in (range(world)):
             cfg.SHARD_ID, cfg.NUM_SHARDS = rank, world
             cfg.TRAIN.BATCH_SIZE = 1
             loader = construct_loader(cfg, "train")
             loader.set_epoch(3)
             idx = [int(i) for b in loader for i in b["index"]]
-            seen.append(set(idx))
-            lens.append(len(loader))
-        assert len(set(lens)) <= 2 and max(lens) - min(lens) <= 1
-        union = set().union(*seen)
-        assert sum(len(s) for s in seen) == len(union), "rank shards overlap"
+            seen.append(idx)
+            counts.append(len(idx))
+        assert len(set(counts)) == 1, f"unequal rank counts: {counts}"
+        union = set().union(*map(set, seen))
         assert union == set(range(6)), "rank shards not exhaustive"
+        n_pad = world * counts[0] - 6
+        overlap = sum(map(len, seen)) - len(union)
+        assert overlap == n_pad, f"overlap {overlap} != wrap-pad {n_pad}"
+        if n_pad == 0:
+            assert all(len(set(s)) == len(s) for s in seen)
     cfg.SHARD_ID, cfg.NUM_SHARDS = 0, 1
 
 
