@@ -253,8 +253,28 @@ class DevicePrefetcher:
         self.macro_sharding = macro_sharding
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._consume_fns = {}
+        self._stopped = False
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
+
+    def stop(self):
+        """Terminate the worker early (consumer breaking mid-epoch) — else it
+        blocks forever on the full queue, leaking a thread per invocation."""
+        self._stopped = True
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def _qput(self, item):
+        while not self._stopped:
+            try:
+                self.q.put(item, timeout=0.25)
+                return
+            except queue.Full:
+                continue
+        raise _PrefetchStopped()
 
     def _force_transfer(self, batch):
         """Materialise the waveform on device NOW, on this thread.
@@ -328,12 +348,12 @@ class DevicePrefetcher:
                 )
             dev = self._put_device(macro, self.macro_sharding)
             self._force_transfer(dev)
-            self.q.put(("macro", dev))
+            self._qput(("macro", dev))
         else:  # remainder: epoch tail or a bucket-shape change
             for b in grp:
                 dev = self._put_device(b)
                 self._force_transfer(dev)
-                self.q.put(("single", dev))
+                self._qput(("single", dev))
 
     def _worker(self):
         try:
@@ -341,7 +361,7 @@ class DevicePrefetcher:
                 for batch in self.it:
                     dev = self._put_device(batch)
                     self._force_transfer(dev)
-                    self.q.put(("single", dev))
+                    self._qput(("single", dev))
             else:
                 grp: List[Dict[str, Any]] = []
                 for batch in self.it:
@@ -354,10 +374,13 @@ class DevicePrefetcher:
                         grp = []
                 if grp:
                     self._emit_group(grp)
+        except _PrefetchStopped:
+            return  # consumer called stop(); no sentinel needed
         except Exception as e:  # surface worker errors to the consumer
-            self.q.put(("error", e))
-        finally:
-            self.q.put(("done", None))
+            self._qput(("error", e))
+            self._qput(("done", None))
+            return
+        self._qput(("done", None))
 
     def __iter__(self):
         while True:
@@ -370,6 +393,10 @@ class DevicePrefetcher:
                 yield kind, payload  # tagged ("macro" | "single", batch)
             else:
                 yield payload
+
+
+class _PrefetchStopped(Exception):
+    pass
 
 
 def _tree_leaves_with_paths(batch, prefix=""):

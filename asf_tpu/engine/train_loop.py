@@ -174,10 +174,9 @@ def train_epoch(
     return state
 
 
-def precise_bn(cfg, state: TrainState, train_loader, mesh, num_iters: int):
-    """Recompute BN running stats over ``num_iters`` batches
-    (parity with calculate_and_update_precise_bn, tools/train_net.py:659-680,
-    and fvcore update_bn_stats — cumulative average of per-batch stats)."""
+def make_precise_bn_step(cfg):
+    """Jitted one-batch BN-stat collection (momentum-1 semantics). Built ONCE
+    per run — rebuilding inside the epoch loop would retrace every epoch."""
     cfg2 = cfg.clone()
     cfg2.BN["MOMENTUM_OVERRIDE"] = 1.0
     model = build_model(cfg2)
@@ -203,16 +202,33 @@ def precise_bn(cfg, state: TrainState, train_loader, mesh, num_iters: int):
             )
         return mut["batch_stats"]
 
+    return stats_step
+
+
+def precise_bn(cfg, state: TrainState, train_loader, mesh, num_iters: int,
+               stats_step=None):
+    """Recompute BN running stats over ``num_iters`` batches
+    (parity with calculate_and_update_precise_bn, tools/train_net.py:659-680,
+    and fvcore update_bn_stats — cumulative average of per-batch stats)."""
+    if stats_step is None:
+        stats_step = make_precise_bn_step(cfg)
+
     acc = None
     count = 0
-    for i, batch in enumerate(train_loader):
-        if i >= num_iters:
-            break
-        batch.pop("metadata", None)
-        batch = shard_batch(batch, mesh)
-        stats = stats_step(state.params, state.batch_stats, batch)
-        acc = stats if acc is None else jax.tree.map(lambda a, b: a + b, acc, stats)
-        count += 1
+    # prefetched iteration: overlaps the relay wire with the stat pass
+    src = iter_prefetched(train_loader, cfg, mesh)
+    try:
+        for i, batch in enumerate(src):
+            if i >= num_iters:
+                break
+            batch.pop("metadata", None)
+            batch = shard_batch(batch, mesh)
+            stats = stats_step(state.params, state.batch_stats, batch)
+            acc = stats if acc is None else jax.tree.map(lambda a, b: a + b, acc, stats)
+            count += 1
+    finally:
+        if hasattr(src, "stop"):
+            src.stop()
     if acc is None:
         return state
     new_stats = jax.tree.map(lambda a: a / count, acc)
@@ -299,6 +315,7 @@ def train(cfg):
 
     train_meter = build_train_meter(cfg, len(train_loader))
     val_meter = build_val_meter(cfg, len(val_loader))
+    pbn_step = make_precise_bn_step(cfg) if cfg.BN.USE_PRECISE_STATS else None
 
     from .observers import ScalarLogger
 
@@ -316,6 +333,7 @@ def train(cfg):
             state = precise_bn(
                 cfg, state, train_loader, mesh,
                 min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
+                stats_step=pbn_step,
             )
 
         if cu.is_checkpoint_epoch(cfg, cur_epoch):

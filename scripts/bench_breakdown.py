@@ -60,7 +60,7 @@ def main():
     from asf_tpu.config import get_cfg
     from asf_tpu.dsp.specaugment import spec_augment_batch
     from asf_tpu.engine.optimizer import construct_optimizer
-    from asf_tpu.engine.steps import TrainState, init_state, make_input_pipeline, make_train_step
+    from asf_tpu.engine.steps import init_state, make_input_pipeline
     from asf_tpu.models import build_model
 
     cfg = get_cfg()
@@ -112,22 +112,37 @@ def main():
 
     lazy = _Lazy()
     state = init_state(cfg, model, lazy, jax.random.PRNGKey(0), batch)
-    step_fn = make_train_step(cfg, model, lazy.tx)
     batch_dev = jax.tree.map(jnp.asarray, batch)
 
-    state, parts, _ = step_fn(state, batch_dev, jnp.float32(0.1), key)  # compile
-    float(parts["loss"])
+    # Scan-chained train-step timing: the step carried through lax.scan with
+    # the SAME resident batch. A host dispatch loop over donated buffers is
+    # unreliable here — the relay caches repeat dispatches (CLAUDE.md).
+    from asf_tpu.engine.steps import _make_step_core
 
-    def run_steps(n):
-        nonlocal state
-        t0 = time.perf_counter()
+    core = _make_step_core(cfg, model, lazy.tx)
+
+    def chained(st, n):
+        def body(s, _):
+            s2, parts, stats = core(s, batch_dev, jnp.float32(0.1), key)
+            return s2, None
+
+        out, _ = jax.lax.scan(body, st, None, length=n)
+        return out
+
+    short = jax.jit(lambda s: chained(s, 8))
+    long = jax.jit(lambda s: chained(s, 24))
+    jax.block_until_ready(short(state).params)
+    jax.block_until_ready(long(state).params)
+
+    def best(f, n=3):
+        ts = []
         for _ in range(n):
-            state, parts, _ = step_fn(state, batch_dev, jnp.float32(0.1), key)
-        float(parts["loss"])
-        return time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(state).params)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    run_steps(2)
-    t_step = (run_steps(3 * ITERS) - run_steps(ITERS)) / (2 * ITERS)
+    t_step = (best(long) - best(short)) / 16
 
     ms = lambda s: s * 1e3  # noqa: E731
     print(f"batch {BATCH}, bf16 Pallas DSP")
