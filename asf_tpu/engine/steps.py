@@ -293,7 +293,10 @@ def make_train_multi_step(cfg, model, tx):
     """
     core = _make_step_core(cfg, model, tx)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    # Only the state is donated: input waveform/label buffers can never alias
+    # the outputs (dtype/shape mismatch — XLA would warn and ignore), and NOT
+    # donating them keeps uploaded macros legally reusable by callers.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state: TrainState, macro_batch, lr_vec, rng):
         def body(st, xs):
             batch, lr = xs

@@ -139,6 +139,43 @@ def main():
             f"({dt / len(loader) * 1e3:.2f} ms/iter, real loop)"
         )
 
+    if multi_step is None:
+        return
+
+    # Residency phase: the same dispatch machinery over macros that are
+    # ALREADY on device — isolates loop+dispatch cost from this rig's
+    # ~55 MB/s H2D wire (PROFILE.md §2). On production hosts (GB/s DMA) the
+    # real loop sits at this number.
+    from asf_tpu.data.loader import DevicePrefetcher
+    from asf_tpu.parallel.mesh import macro_batch_sharding
+    from asf_tpu.utils import lr_policy
+
+    ms_sh = macro_batch_sharding(mesh)
+    pf = DevicePrefetcher(iter(loader), depth=2, sharding=None,
+                          group=k, macro_sharding=ms_sh)
+    macros = []
+    for kind, payload in pf:
+        if kind == "macro":
+            jax.block_until_ready(payload["waveform"])
+            macros.append(payload)
+        if len(macros) == 3:
+            break
+    pf.stop()
+    import jax.numpy as jnp
+
+    n_disp = 12
+    lrs = jnp.asarray(np.full((k,), 0.1, np.float32))
+    t0 = time.perf_counter()
+    for i in range(n_disp):
+        state, parts, stats = multi_step(state, macros[i % 3], lrs, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    clips = n_disp * k * BATCH
+    print(
+        f"loop-resident (data pre-staged, wire excluded): {clips / dt:.0f} "
+        f"clips/s/chip ({dt / (n_disp * k) * 1e3:.2f} ms/iter)"
+    )
+
 
 if __name__ == "__main__":
     main()
