@@ -27,9 +27,9 @@ ROOT = "/tmp/bench_train_loop_v2"
 def make_dataset(cfg):
     """Synthetic VGG-Sound: N_CLIPS wavs at the production clip length.
 
-    Every clip is INDEPENDENT noise: the dispatch relay content-dedups
-    repeated payloads, so derived-from-one-base data would fake the H2D
-    wire cost that dominates this loop (~55 MB/s measured)."""
+    Every clip is INDEPENDENT noise so no layer of the dispatch relay can
+    shortcut repeated payloads — the H2D wire (~50 MB/s, bench_wire.py)
+    dominates this loop and must be honestly paid."""
     import pandas as pd
     from scipy.io import wavfile
 
