@@ -127,18 +127,23 @@ class PallasLogMel:
     """
 
     def __init__(self, dft_w: np.ndarray, mel_w: np.ndarray, n_fft: int, hop: int,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, k_tile: int | None = None,
+                 r_tile_cap: int | None = None):
         self.n_fft = int(n_fft)
         self.hop = int(hop)
         n_freqs, n_mels = mel_w.shape
         self.compute_dtype = compute_dtype
         # Tile sizes chosen to stay inside the 16 MB scoped-VMEM budget with
         # Mosaic's double buffering (f32 blocks are 2x the bytes of bf16).
-        # Measured on v5e: k_tile 256 beats 512 at bf16 (1.60 vs 1.71 ms per
-        # 64-clip batch) — the extra frame re-streams are hidden behind the
-        # MXU, while bigger weight blocks hurt pipelining.
-        self.k_tile = 256
-        self.r_tile_cap = 256 if compute_dtype == jnp.bfloat16 else 128
+        # v5e sweep (scripts/bench_dsp_tiles.py): k_tile 256 beats both 128
+        # and 512 at bf16, and r_tile 512 edges 256 at batch 64 (1.46 vs
+        # 1.49 ms) and 128 (3.48 vs 3.55 ms) — taller row tiles amortise the
+        # weight-block re-streams without blowing VMEM.
+        self.k_tile = int(k_tile) if k_tile else 256
+        self.r_tile_cap = (
+            int(r_tile_cap) if r_tile_cap
+            else (512 if compute_dtype == jnp.bfloat16 else 128)
+        )
         self.m = _round_up(n_mels, 128)
         self.n_mels = n_mels
         kf = _round_up(n_freqs, self.k_tile)
