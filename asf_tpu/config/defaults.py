@@ -291,6 +291,10 @@ _C.TPU.STEPS_PER_DISPATCH = 8
 _C.TPU.PROFILE_DIR = ""
 _C.TPU.PROFILE_START_ITER = 10
 _C.TPU.PROFILE_NUM_ITERS = 5
+# Weight each slide-test slot by its contributing window count — surfaces the
+# reference's dormant ``weight=`` variant of the slide metrics
+# (utils/metrics.py:41-76). False = reference behaviour (uniform weights).
+_C.TPU.SLIDE_WINDOW_WEIGHTS = False
 
 # Hook for downstream users to extend the config tree.
 custom_config.add_custom_config(_C)

@@ -77,7 +77,20 @@ def collate(items: List[Dict[str, Any]], max_windows: Optional[int] = None,
         if "noun_embedding" in first:
             out["noun_embedding"] = np.stack([it["noun_embedding"] for it in items])
     else:
-        out["waveform"] = np.stack([it["waveform"] for it in items])
+        waves = [it["waveform"] for it in items]
+        if len({w.dtype for w in waves}) > 1:
+            # Mixed int16-PCM / float items in one batch (a non-mono/non-int16
+            # file fell back to scaled float32 while TPU.INT16_TRANSFER is
+            # on). np.stack would silently promote raw PCM to float at
+            # ~32768x amplitude; apply the deferred /32768 scale here instead
+            # so every row is in float [-1, 1].
+            waves = [
+                w.astype(np.float32) / 32768.0
+                if w.dtype == np.int16
+                else w.astype(np.float32)
+                for w in waves
+            ]
+        out["waveform"] = np.stack(waves)
         out["n_valid"] = np.asarray([it["n_valid"] for it in items], np.int32)
 
     label_keys = first["label"].keys()
@@ -119,6 +132,29 @@ class AsfLoader:
         self.rank = rank
         self.world_size = world_size
         self.single_bucket = single_bucket
+        # One pool for the loader's LIFETIME, not per epoch: datasets keep a
+        # per-thread h5py handle in threading.local, so fresh threads every
+        # epoch would open NUM_WORKERS new HDF5 handles per epoch and leak
+        # the old ones until GC (multi-hundred-epoch runs exhaust fds).
+        self._pool: Optional[cf.ThreadPoolExecutor] = None
+
+    def _get_pool(self) -> cf.ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(
+                max_workers=self.num_workers, thread_name_prefix="asf-loader"
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int):
         """Parity with DistributedSampler.set_epoch (loader.py:120-134).
@@ -155,13 +191,13 @@ class AsfLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idx = self._indices()
         nb = len(self)
-        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for b in range(nb):
-                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                if len(chunk) == 0:
-                    break
-                items = list(pool.map(self.dataset.__getitem__, chunk))
-                yield collate(items, self.max_windows, self.single_bucket)
+        pool = self._get_pool()
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) == 0:
+                break
+            items = list(pool.map(self.dataset.__getitem__, chunk))
+            yield collate(items, self.max_windows, self.single_bucket)
 
 
 def construct_loader(cfg, split: str) -> AsfLoader:

@@ -73,6 +73,42 @@ class Vggsound:
             f"Failed to load VGG-Sound split {self.mode} from {path}"
         )
         logger.info("Constructed Vggsound %s (size %d)", self.mode, len(self._audio_records))
+        if self.int16:
+            self._probe_int16()
+
+    def _probe_int16(self):
+        """Decide the int16-transfer path DATASET-WIDE, not per file.
+
+        A file that is not mono int16 PCM falls back to scaled float32; if a
+        batch then mixed raw-PCM and float rows, collate's stack would need
+        per-row rescaling and the batch dtype would flap between int16 and
+        float32 across batches — each flap is a separate jit compile of the
+        scanned train step (minutes on TPU). Probe a sample of files up
+        front: any non-conforming file disables int16 for the whole dataset
+        (collate additionally rescues genuinely mixed batches)."""
+        from scipy.io import wavfile
+
+        seen = set()
+        for rec in self._audio_records:
+            if len(seen) >= 8:
+                break
+            name = rec["video"][:-4] + ".wav"
+            if name in seen:
+                continue
+            seen.add(name)
+            path = os.path.join(self.cfg.VGGSOUND.AUDIO_DATA_DIR, name)
+            try:
+                _, data = wavfile.read(path, mmap=True)
+            except (FileNotFoundError, ValueError):
+                continue  # __getitem__ will surface real IO errors
+            if data.dtype != np.int16 or data.ndim != 1:
+                logger.warning(
+                    "TPU.INT16_TRANSFER disabled for Vggsound %s: %s is %s/%dD "
+                    "(need mono int16 PCM dataset-wide)",
+                    self.mode, name, data.dtype, data.ndim,
+                )
+                self.int16 = False
+                return
 
     def __getitem__(self, index: int):
         record = self._audio_records[index]

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from asf_tpu.parallel.mesh import pad_batch_to, shard_batch
+from asf_tpu.parallel.mesh import pad_batch_to, put_with, shard_batch
 from . import metrics
 from .meters import EPICValMeter, ValMeter
 from .steps import has_state_head, is_multitask, prepare_state_labels_jnp
@@ -137,9 +137,6 @@ def _eval_fused(
 
     pending = []  # (iter0, accs_dev, outs_dev|None, [hbatch|None], [n_real])
 
-    def put(x, sh):
-        return jax.device_put(x, sh) if sh is not None else jax.tree.map(jnp.asarray, x)
-
     def flush():
         for it0, accs_d, outs_d, hbatches, n_reals in pending:
             k = len(n_reals)
@@ -191,7 +188,7 @@ def _eval_fused(
             for i, nr in enumerate(nreals):
                 masks[i, :nr] = 1.0
             outs, accs = multi_metrics_step(
-                state, put(macro, macro_sharding), put(masks, macro_sharding)
+                state, put_with(macro, macro_sharding), put_with(masks, macro_sharding)
             )
         else:
             mask = np.zeros((batch_size,), np.float32)
@@ -201,7 +198,7 @@ def _eval_fused(
                 if mesh is not None
                 else jax.tree.map(jnp.asarray, batches[0])
             )
-            outs, accs = metrics_step(state, batch, put(mask, sharding))
+            outs, accs = metrics_step(state, batch, put_with(mask, sharding))
         pending.append(
             (cur_iter, accs, outs if need_preds else None, hkeep, list(nreals))
         )
@@ -210,11 +207,24 @@ def _eval_fused(
             flush()
 
     grp, grp_nreal = [], []
+    sig = None
     val_meter.iter_tic()
     for batch in val_loader:
         batch, n_real = pad_batch_to(batch, batch_size)
         batch.pop("metadata", None)
         val_meter.data_toc()
+        # GRU window-count bucketing yields batches with differing (B, Nb, S)
+        # shapes; a macro group must be shape-uniform (np.stack + one compiled
+        # scan). On a signature change, dispatch the partial group as singles
+        # (same guard as perform_test / DevicePrefetcher._shape_sig).
+        bsig = tuple(
+            sorted((k, v.shape) for k, v in batch.items() if hasattr(v, "shape"))
+        )
+        if grp and bsig != sig:
+            for b, nr in zip(grp, grp_nreal):
+                dispatch([b], [nr])
+            grp, grp_nreal = [], []
+        sig = bsig
         grp.append(batch)
         grp_nreal.append(n_real)
         if len(grp) == group:

@@ -541,13 +541,22 @@ class EPICTestMeterSlide:
     """Sliding-window test meter: per-window scores with multi-label
     correctness and window-count weighting (meters.py:1756-1928)."""
 
-    def __init__(self, num_windows, num_cls, per_action_instance: bool):
+    def __init__(self, num_windows, num_cls, per_action_instance: bool,
+                 window_weights: bool = False):
         self.per_action_instance = per_action_instance
+        # Weight each scored slot by how many windows contributed to it —
+        # the reference's dormant ``weight=`` variant of the slide metrics
+        # (utils/metrics.py:41-76), exposed via TPU.SLIDE_WINDOW_WEIGHTS.
+        self.window_weights = window_weights
         self.verb_preds = np.zeros((num_windows, num_cls[0]), np.float64)
         self.noun_preds = np.zeros((num_windows, num_cls[1]), np.float64)
         label_w = 1 if per_action_instance else 4
         self.verb_labels = np.full((num_windows, label_w), -1, np.int64)
         self.noun_labels = np.full((num_windows, label_w), -1, np.int64)
+        self.window_count = np.zeros((num_windows,), np.int64)
+        # Per-window narration ids for the score pickle
+        # (reference meters.py:1846-1848,1921-1928).
+        self.metadata = np.empty(num_windows, dtype=object)
         self.seen = np.zeros((num_windows,), bool)
         self.iter_timer = Timer()
         self.stats = {}
@@ -577,6 +586,9 @@ class EPICTestMeterSlide:
             self.noun_preds[cid] = noun_p[i]
             self.verb_labels[cid, : verb_l.shape[1]] = verb_l[i]
             self.noun_labels[cid, : noun_l.shape[1]] = noun_l[i]
+            if metadata is not None and "narration_id" in metadata:
+                self.metadata[cid] = metadata["narration_id"][i]
+            self.window_count[cid] += 1
             self.seen[cid] = True
 
     def finalize_metrics(self, ks=(1, 5)):
@@ -586,10 +598,11 @@ class EPICTestMeterSlide:
         vl, nl = self.verb_labels[keep], self.noun_labels[keep]
         if self.per_action_instance:
             vl, nl = vl[:, 0], nl[:, 0]
-        verb = metrics.topk_accuracies_slide(vp, vl, ks, self.per_action_instance)
-        noun = metrics.topk_accuracies_slide(np_, nl, ks, self.per_action_instance)
+        weight = self.window_count[keep].astype(np.float64) if self.window_weights else None
+        verb = metrics.topk_accuracies_slide(vp, vl, ks, self.per_action_instance, weight)
+        noun = metrics.topk_accuracies_slide(np_, nl, ks, self.per_action_instance, weight)
         action = metrics.multitask_topk_accuracies_slide(
-            (vp, np_), (vl, nl), ks, self.per_action_instance
+            (vp, np_), (vl, nl), ks, self.per_action_instance, weight
         )
         self.stats = {"_type": "test_final", "num_windows_eval": int(keep.sum())}
         for k, v, n, a in zip(ks, verb, noun, action):
@@ -597,4 +610,4 @@ class EPICTestMeterSlide:
             self.stats[f"noun_top{k}_acc"] = f"{float(n):.2f}"
             self.stats[f"action_top{k}_acc"] = f"{float(a):.2f}"
         log_json_stats(self.stats)
-        return ((vp, np_), (vl, nl), None)
+        return ((vp, np_), (vl, nl), self.metadata[keep].copy())

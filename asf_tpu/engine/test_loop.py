@@ -88,7 +88,7 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
             for b, n_real, metadata in grp
         ]
         if k > 1:
-            from asf_tpu.parallel.mesh import macro_batch_sharding
+            from asf_tpu.parallel.mesh import macro_batch_sharding, put_with
             from .eval_loop import _stack_batches
 
             macro = _stack_batches([b for b, _, _ in grp])
@@ -96,9 +96,7 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
             for i, (_, nr, _) in enumerate(grp):
                 masks[i, :nr] = 1.0
             ms = macro_batch_sharding(mesh)
-            outs, _ = multi_eval(
-                state, jax.device_put(macro, ms), jax.device_put(masks, ms)
-            )
+            outs, _ = multi_eval(state, put_with(macro, ms), put_with(masks, ms))
         else:
             outs = eval_step(state, shard_batch(grp[0][0], mesh))
         pending.append((cur_iter, outs, metas))
@@ -204,6 +202,7 @@ def test(cfg):
             num_windows=num_items,
             num_cls=cfg.MODEL.NUM_CLASSES,
             per_action_instance=cfg.TEST.SLIDE.PER_ACTION_INSTANCE,
+            window_weights=bool(cfg.TPU.SLIDE_WINDOW_WEIGHTS),
         )
     elif multitask:
         num_clips = getattr(dataset, "_num_clips", cfg.TEST.NUM_ENSEMBLE_VIEWS)

@@ -360,7 +360,9 @@ def build_model(cfg):
 
     DDP/SyncBN wrapping (reference models/build.py:46-57) is unnecessary:
     data parallelism comes from the mesh-sharded jitted step, and BN sync
-    from ``lax.pmean`` inside TorchBatchNorm.
+    from split-stats over the GSPMD-sharded global batch inside
+    TorchBatchNorm (models/norm.py — NUM_SYNC_DEVICES groups map onto
+    ``num_splits``; no collective primitive in the model).
     """
     name = cfg.MODEL.MODEL_NAME
     # Upstream auditory-slow-fast YAMLs use MODEL_NAME "SlowFast" for the

@@ -93,6 +93,28 @@ def mesh_spans_processes(mesh: Mesh) -> bool:
         return False
 
 
+def put_with(tree, sharding: Optional[NamedSharding]):
+    """device_put a pytree onto ``sharding``, assembling from per-process
+    rank-shards via ``jax.make_array_from_process_local_data`` when the mesh
+    spans processes (each host holds only its slice of the sharded axes).
+    ``sharding=None`` falls back to a plain on-default-device jnp.asarray.
+
+    Used by the fused eval/test dispatch paths so multi-host runs take the
+    same assembly route as shard_batch/DevicePrefetcher."""
+    import jax.numpy as jnp
+
+    if sharding is None:
+        return jax.tree.map(jnp.asarray, tree)
+    if mesh_spans_processes(sharding.mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def macro_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for stacked multi-step batches: leading axis is the step
     index K (unsharded scan axis), axis 1 is the per-step batch split over

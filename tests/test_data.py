@@ -5,6 +5,8 @@ Mirrors the reference's data-dependent integration tests
 in /root/reference) but against synthesized HDF5/wav/pickle fixtures.
 """
 
+import os
+
 import numpy as np
 
 from fixtures import epic_cfg, make_epic_fixture, make_vgg_fixture
@@ -268,3 +270,60 @@ def test_vgg_int16_transfer_parity(tmp_path):
     pf = pipeline(jnp.asarray(if32["waveform"][None]), jnp.asarray(nv), None, train=False)
     for a, b in zip(p16, pf):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vgg_int16_disabled_on_non_conforming_files(tmp_path):
+    """A dataset with any non-mono-int16 file must not ship raw PCM: the
+    construct-time probe flips the whole dataset to scaled float32
+    (ADVICE r2 medium — a mixed batch would enter the model at ~32768x)."""
+    from scipy.io import wavfile
+
+    from asf_tpu.config import get_cfg
+
+    root = str(tmp_path)
+    audio_dir, pkl = make_vgg_fixture(root)
+    # overwrite the FIRST file with stereo int16 -> float fallback in load_wav
+    sr = 24000
+    rng = np.random.default_rng(3)
+    stereo = (rng.standard_normal((sr * 3, 2)) * 6000).astype(np.int16)
+    wavfile.write(os.path.join(audio_dir, "clip_000.wav"), sr, stereo)
+
+    cfg = get_cfg()
+    cfg.VGGSOUND.AUDIO_DATA_DIR = audio_dir
+    cfg.VGGSOUND.ANNOTATIONS_DIR = root
+    cfg.VGGSOUND.TEST_LIST = cfg.VGGSOUND.TRAIN_LIST = cfg.VGGSOUND.VAL_LIST = "test.pkl"
+    cfg.TPU.INT16_TRANSFER = True
+    ds = build_dataset("Vggsound", cfg, "val")
+    assert ds.int16 is False
+    assert all(ds[i]["waveform"].dtype == np.float32 for i in range(len(ds)))
+
+
+def test_collate_rescues_mixed_dtype_batch():
+    """Safety net below the probe: if raw-PCM int16 and float32 items DO meet
+    in one batch, collate applies the deferred /32768 scale instead of
+    letting np.stack promote raw PCM to float at full amplitude."""
+    from asf_tpu.data.loader import collate
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(100) * 6000).astype(np.int16)
+    flt = rng.standard_normal(100).astype(np.float32) * 0.2
+
+    def item(w, idx):
+        return {
+            "waveform": w,
+            "n_valid": np.int32(100),
+            "label": {"class_id": np.int32(idx)},
+            "index": idx,
+            "metadata": {},
+        }
+
+    batch = collate([item(pcm, 0), item(flt, 1)])
+    assert batch["waveform"].dtype == np.float32
+    np.testing.assert_allclose(
+        batch["waveform"][0], pcm.astype(np.float32) / 32768.0, rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(batch["waveform"][1], flt)
+
+    # pure-int16 batches keep the int16 wire format
+    batch16 = collate([item(pcm, 0), item(pcm, 1)])
+    assert batch16["waveform"].dtype == np.int16

@@ -95,6 +95,68 @@ def test_fused_eval_matches_legacy():
         )
 
 
+def test_fused_eval_mixed_shapes_no_crash():
+    """A macro group must never straddle a shape change (GRU window-count
+    bucketing yields differing waveform shapes): the fused path dispatches
+    the partial group as singles instead of crashing in np.stack
+    (ADVICE r2 high)."""
+    from asf_tpu.engine.eval_loop import build_val_meter, eval_epoch
+    from asf_tpu.engine.steps import (
+        init_state,
+        make_eval_metrics_step,
+        make_eval_multi_step,
+        make_eval_step,
+    )
+    from asf_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    rng = np.random.default_rng(1)
+    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+    short = clip // 2  # a second waveform shape (shorter bucket)
+
+    def mk(b, off, s):
+        return {
+            "waveform": (rng.standard_normal((b, s)) * 0.1).astype(np.float32),
+            "n_valid": np.full((b,), s, np.int32),
+            "labels": {"class_id": rng.integers(0, 6, (b,)).astype(np.int32)},
+            "index": np.arange(b, dtype=np.int32) + off,
+            "metadata": {},
+        }
+
+    # group=2; the shape change hits mid-group: [clip, SHORT], [short, clip]
+    batches = [mk(4, 0, clip), mk(4, 4, short), mk(4, 8, short), mk(4, 12, clip)]
+
+    class _Lazy:
+        def init(self, params):
+            import optax
+
+            return optax.sgd(0.1).init(params)
+
+    state = init_state(cfg, model, _Lazy(), jax.random.PRNGKey(0), batches[0])
+
+    def copies():
+        return _Loader(
+            [{k: (dict(v) if isinstance(v, dict) else v.copy()) for k, v in b.items()}
+             for b in batches]
+        )
+
+    meter_a = build_val_meter(cfg, len(batches))
+    _, top1_a = eval_epoch(copies(), state, make_eval_step(cfg, model), meter_a, 0, cfg)
+
+    meter_b = build_val_meter(cfg, len(batches))
+    _, top1_b = eval_epoch(
+        copies(), state, None, meter_b, 0, cfg,
+        metrics_step=make_eval_metrics_step(cfg, model),
+        multi_metrics_step=make_eval_multi_step(cfg, model),
+    )
+
+    for k in top1_a:
+        np.testing.assert_allclose(
+            float(top1_a[k]), float(top1_b[k]), rtol=1e-5, atol=1e-4, err_msg=k
+        )
+
+
 if __name__ == "__main__":
     import sys
 

