@@ -72,7 +72,12 @@ def _checkpointer():
 
 
 def save_checkpoint(path_to_job: str, state, epoch: int, cfg, name: Optional[str] = None) -> str:
-    """Save {params, batch_stats, opt_state, epoch, cfg} (checkpoint.py:96-125)."""
+    """Save {params, batch_stats, opt_state, epoch, cfg} (checkpoint.py:96-125).
+
+    Multi-process: EVERY process must call this — Orbax synchronises the
+    processes internally and writes once (skipping on non-zero ranks
+    deadlocks rank 0 inside that barrier). State is replicated over the
+    mesh, so the device_get below is addressable on every process."""
     make_checkpoint_dir(path_to_job)
     path = (
         os.path.join(_ckpt_root(path_to_job), name)
