@@ -236,16 +236,22 @@ def shuffle_dataset(loader: AsfLoader, cur_epoch: int):
     loader.set_epoch(cur_epoch)
 
 
-def iter_prefetched(loader, cfg, mesh=None, group: int = 1):
+def iter_prefetched(loader, cfg, mesh=None, group: int = 1, lr_fn=None):
     """Iterate ``loader`` with PREFETCH_DEPTH batches uploaded ahead to HBM
     (batch axis sharded over the mesh's 'data' axis). Depth 0 disables.
 
     With ``group=K > 1`` (multi-step dispatch, engine/steps.py
     ``make_train_multi_step``), consecutive same-shape batches are stacked
     into macro-batches with a leading (K, ...) axis before upload, and items
-    are yielded TAGGED: ``("macro", batch)`` for full K-groups and
-    ``("single", batch)`` for remainders (epoch tail, GRU bucket-shape
-    changes). Metadata is dropped in grouped mode (train loop discards it)."""
+    are yielded TAGGED: ``("macro", batch, lr_dev)`` for full K-groups and
+    ``("single", batch, lr_dev)`` for remainders (epoch tail, GRU
+    bucket-shape changes). Metadata is dropped in grouped mode (train loop
+    discards it).
+
+    ``lr_fn(step_index) -> float`` (optional): per-iteration learning rates
+    are computed AND uploaded on the prefetch thread ((K,) vector for macro
+    items, scalar for singles) so the dispatch loop never pays a relay
+    round-trip for them; ``lr_dev`` is None when no lr_fn is given."""
     depth = int(getattr(cfg.TPU, "PREFETCH_DEPTH", 0)) if "TPU" in cfg else 0
     sharding = macro_sharding = None
     if mesh is not None:
@@ -261,6 +267,7 @@ def iter_prefetched(loader, cfg, mesh=None, group: int = 1):
         sharding=sharding,
         group=group,
         macro_sharding=macro_sharding,
+        lr_fn=lr_fn,
     )
 
 
@@ -278,6 +285,7 @@ class DevicePrefetcher:
         sharding=None,
         group: int = 1,
         macro_sharding=None,
+        lr_fn=None,
     ):
         import jax
 
@@ -287,6 +295,8 @@ class DevicePrefetcher:
         self.sharding = sharding
         self.group = max(1, group)
         self.macro_sharding = macro_sharding
+        self.lr_fn = lr_fn
+        self._step_idx = 0  # running per-item index feeding lr_fn
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._consume_fns = {}
         self._stopped = False
@@ -371,6 +381,18 @@ class DevicePrefetcher:
             )
         )
 
+    def _lr_dev(self, k: int):
+        """Upload the next k iterations' LRs here, on the prefetch thread."""
+        if self.lr_fn is None:
+            self._step_idx += k
+            return None
+        lrs = np.asarray(
+            [self.lr_fn(self._step_idx + i) for i in range(k)], np.float32
+        )
+        self._step_idx += k
+        dev = self._jax.device_put(lrs if k > 1 else lrs[0])
+        return dev
+
     def _emit_group(self, grp):
         if len(grp) == self.group:
             macro = {}
@@ -384,12 +406,12 @@ class DevicePrefetcher:
                 )
             dev = self._put_device(macro, self.macro_sharding)
             self._force_transfer(dev)
-            self._qput(("macro", dev))
+            self._qput(("macro", dev, self._lr_dev(len(grp))))
         else:  # remainder: epoch tail or a bucket-shape change
             for b in grp:
                 dev = self._put_device(b)
                 self._force_transfer(dev)
-                self._qput(("single", dev))
+                self._qput(("single", dev, self._lr_dev(1)))
 
     def _worker(self):
         try:
@@ -397,7 +419,7 @@ class DevicePrefetcher:
                 for batch in self.it:
                     dev = self._put_device(batch)
                     self._force_transfer(dev)
-                    self._qput(("single", dev))
+                    self._qput(("single", dev, self._lr_dev(1)))
             else:
                 grp: List[Dict[str, Any]] = []
                 for batch in self.it:
@@ -413,20 +435,20 @@ class DevicePrefetcher:
         except _PrefetchStopped:
             return  # consumer called stop(); no sentinel needed
         except Exception as e:  # surface worker errors to the consumer
-            self._qput(("error", e))
-            self._qput(("done", None))
+            self._qput(("error", e, None))
+            self._qput(("done", None, None))
             return
-        self._qput(("done", None))
+        self._qput(("done", None, None))
 
     def __iter__(self):
         while True:
-            kind, payload = self.q.get()
+            kind, payload, lr_dev = self.q.get()
             if kind == "done":
                 return
             if kind == "error":
                 raise payload
-            if self.group > 1:
-                yield kind, payload  # tagged ("macro" | "single", batch)
+            if self.group > 1 or self.lr_fn is not None:
+                yield kind, payload, lr_dev  # tagged (kind, batch, lr|None)
             else:
                 yield payload
 

@@ -66,6 +66,184 @@ def frame_waveform(wave: jnp.ndarray, t_frames: int, hop: int, n_fft: int) -> jn
     return frames[:, :, :n_fft]
 
 
+def hop_blocks(wave: jnp.ndarray, t_frames: int, hop: int, n_fft: int,
+               rows_pad: int) -> jnp.ndarray:
+    """(B, S) waveform -> (B, rows_pad, 128) hop-blocked layout.
+
+    Row r holds samples ``padded[r*hop : (r+1)*hop]`` (librosa centre padding
+    prepended), zero-padded from ``hop`` to the 128-lane width. Frame ``i``
+    is the concatenation of rows ``i .. i + ceil(n_fft/hop) - 1`` — the
+    hop-block kernel rebuilds frames from these rows in VMEM, so the 17x
+    frame redundancy (n_fft/hop) never touches HBM.
+    """
+    b, s = wave.shape
+    pad_front = n_fft // 2
+    j_blocks = -(-n_fft // hop)
+    n_rows = t_frames - 1 + j_blocks
+    need = n_rows * hop
+    padded = jnp.pad(wave, ((0, 0), (pad_front, max(0, need - s - pad_front))))
+    blocked = padded[:, :need].reshape(b, n_rows, hop)
+    return jnp.pad(blocked, ((0, 0), (0, rows_pad - n_rows), (0, 128 - hop)))
+
+
+def _kernel_hopblock(blocked_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *,
+                     precision, k_chunk, nk, j_blocks, t_frames, eps):
+    """Per-sample log-mel from hop blocks; frames exist only in VMEM.
+
+    blocked_ref: (1, rows_pad, 128) hop blocks of ONE waveform.
+    wcos/wsin:   (j_blocks*128, kf) block-row-major DFT basis (lane-padded).
+    mel_ref:     (kf, m).
+    out_ref:     (1, t_frames, m) log-mel.
+
+    DFT decomposition: frame_i = [hopblk_i .. hopblk_{i+J-1}], so
+    DFT = sum_j shifted(blocked)[i+j] @ W_j — J static sublane-shifted views
+    of the SAME resident block, J x nk small matmuls on the MXU. Removes the
+    (B*T, n_fft) frame materialisation entirely (at n_fft=2048, hop=120 that
+    pre-pass wrote 17x the waveform bytes and cost as much HBM time as the
+    kernel's compute).
+    """
+    blk = blocked_ref[0]
+    m = out_ref.shape[-1]
+
+    def kbody(k, acc):
+        ks = k * k_chunk
+        re = jnp.zeros((t_frames, k_chunk), jnp.float32)
+        im = jnp.zeros((t_frames, k_chunk), jnp.float32)
+        for j in range(j_blocks):  # static unroll: static sublane shifts
+            lhs = blk[j : j + t_frames, :]
+            wc = wcos_ref[pl.dslice(j * 128, 128), pl.dslice(ks, k_chunk)]
+            ws = wsin_ref[pl.dslice(j * 128, 128), pl.dslice(ks, k_chunk)]
+            re = re + jax.lax.dot_general(
+                lhs, wc, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+            im = im + jax.lax.dot_general(
+                lhs, ws, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+        mag = jnp.sqrt(re * re + im * im)
+        mel = mel_ref[pl.dslice(ks, k_chunk), :]
+        return acc + jax.lax.dot_general(
+            mag.astype(mel.dtype), mel, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(0, nk, kbody, jnp.zeros((t_frames, m), jnp.float32))
+    out_ref[0] = jnp.log(acc + eps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_chunk", "t_frames", "j_blocks", "precision", "interpret", "eps"),
+)
+def _hopblock_logmel(blocked, w_cos, w_sin, mel_w, *, k_chunk, t_frames, j_blocks,
+                     precision, interpret, eps):
+    b, rows_pad, _ = blocked.shape
+    kf = w_cos.shape[1]
+    m = mel_w.shape[1]
+    nk = kf // k_chunk
+    flops = b * nk * (2 * t_frames * j_blocks * 128 * k_chunk * 2
+                      + 2 * t_frames * k_chunk * m)
+    bytesz = blocked.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_hopblock, precision=precision, k_chunk=k_chunk, nk=nk,
+            j_blocks=j_blocks, t_frames=t_frames, eps=eps,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((j_blocks * 128, kf), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((j_blocks * 128, kf), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((kf, m), lambda i: (0, 0)),               # resident
+        ],
+        out_specs=pl.BlockSpec((1, t_frames, m), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_frames, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=b * rows_pad * 128 * bytesz
+            + (2 * j_blocks * 128 * kf + kf * m) * bytesz
+            + b * t_frames * m * 4,
+            transcendentals=b * nk * t_frames * k_chunk,  # sqrt
+        ),
+        interpret=interpret,
+    )(blocked, w_cos, w_sin, mel_w)
+
+
+def _kernel_resident(frames_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *,
+                     precision, k_chunk, nk, eps):
+    """Weights-resident single-pass variant (bf16 production path).
+
+    Grid is (n_row_tiles,) only: the full [W_cos|W_sin|mel] stack (~10 MB at
+    bf16 for n_fft=2048) stays in VMEM across the whole grid (constant index
+    maps are fetched once), and a fori_loop accumulates the mel projection
+    over frequency chunks. Versus the partial-tile kernel this removes the
+    x(nk) re-streaming of the frame matrix (the dominant HBM traffic at
+    production geometry) and the (nk, rows, m) partial stack round-trip, and
+    folds the log epilogue in — the kernel output IS the log-mel block.
+    """
+    f = frames_ref[:]
+    m = out_ref.shape[-1]
+    r = f.shape[0]
+
+    def body(k, acc):
+        ks = k * k_chunk
+        wc = wcos_ref[:, pl.dslice(ks, k_chunk)]
+        ws = wsin_ref[:, pl.dslice(ks, k_chunk)]
+        re = jax.lax.dot_general(
+            f, wc, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        im = jax.lax.dot_general(
+            f, ws, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        mag = jnp.sqrt(re * re + im * im)
+        mel = mel_ref[pl.dslice(ks, k_chunk), :]
+        return acc + jax.lax.dot_general(
+            mag.astype(mel.dtype), mel, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros((r, m), jnp.float32))
+    out_ref[:] = jnp.log(acc + eps)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_chunk", "r_tile", "precision", "interpret", "eps")
+)
+def _resident_logmel(frames, w_cos, w_sin, mel_w, *, k_chunk, r_tile, precision,
+                     interpret, eps):
+    rows, n_fft = frames.shape
+    kf = w_cos.shape[1]
+    m = mel_w.shape[1]
+    nk, nr = kf // k_chunk, rows // r_tile
+    flops = nr * nk * (2 * r_tile * n_fft * k_chunk * 2 + 2 * r_tile * k_chunk * m)
+    bytesz = frames.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_resident, precision=precision, k_chunk=k_chunk, nk=nk, eps=eps
+        ),
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec((r_tile, n_fft), lambda r: (r, 0)),
+            pl.BlockSpec((n_fft, kf), lambda r: (0, 0)),   # resident
+            pl.BlockSpec((n_fft, kf), lambda r: (0, 0)),   # resident
+            pl.BlockSpec((kf, m), lambda r: (0, 0)),       # resident
+        ],
+        out_specs=pl.BlockSpec((r_tile, m), lambda r: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=rows * n_fft * bytesz
+            + (2 * n_fft * kf + kf * m) * bytesz
+            + rows * m * 4,
+            transcendentals=nr * nk * r_tile * k_chunk,  # sqrt
+        ),
+        interpret=interpret,
+    )(frames, w_cos, w_sin, mel_w)
+
+
 def _kernel(frames_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *, precision):
     f = frames_ref[:]
     re = jax.lax.dot_general(
@@ -133,17 +311,26 @@ class PallasLogMel:
         self.hop = int(hop)
         n_freqs, n_mels = mel_w.shape
         self.compute_dtype = compute_dtype
+        # bf16 production path: the FULL weight stack (~10 MB bf16 at
+        # n_fft=2048) fits VMEM, so the weights-resident kernel streams the
+        # frame matrix exactly once and fuses the freq accumulation + log —
+        # see _kernel_resident. f32 weights are 2x that and do not fit: the
+        # HIGHEST-parity path keeps the partial-tile kernel.
+        self.resident = compute_dtype == jnp.bfloat16
         # Tile sizes chosen to stay inside the 16 MB scoped-VMEM budget with
         # Mosaic's double buffering (f32 blocks are 2x the bytes of bf16).
         # v5e sweep (scripts/bench_dsp_tiles.py): k_tile 256 beats both 128
         # and 512 at bf16, and r_tile 512 edges 256 at batch 64 (1.46 vs
         # 1.49 ms) and 128 (3.48 vs 3.55 ms) — taller row tiles amortise the
-        # weight-block re-streams without blowing VMEM.
-        self.k_tile = int(k_tile) if k_tile else 256
-        self.r_tile_cap = (
-            int(r_tile_cap) if r_tile_cap
-            else (512 if compute_dtype == jnp.bfloat16 else 128)
-        )
+        # weight-block re-streams without blowing VMEM. For the resident
+        # kernel, k_tile is the fori accumulation chunk: 384 divides the
+        # padded 1152 (= round_up(1025, 384)) with only 11% pad waste.
+        if self.resident:
+            self.k_tile = int(k_tile) if k_tile else 384
+            self.r_tile_cap = int(r_tile_cap) if r_tile_cap else 256
+        else:
+            self.k_tile = int(k_tile) if k_tile else 256
+            self.r_tile_cap = int(r_tile_cap) if r_tile_cap else 128
         self.m = _round_up(n_mels, 128)
         self.n_mels = n_mels
         kf = _round_up(n_freqs, self.k_tile)
@@ -156,6 +343,31 @@ class PallasLogMel:
         self.w_cos = jnp.asarray(w_cos, compute_dtype)
         self.w_sin = jnp.asarray(w_sin, compute_dtype)
         self.mel_w = jnp.asarray(melp, compute_dtype)
+        # Hop-block kernel eligibility: lanes are padded hop -> 128, so the
+        # contraction waste is (j_blocks*128)/n_fft — worthwhile only when
+        # hop is near the lane width (production 24 kHz geometry: hop 120 ->
+        # 12.5% extra flops for a 17x cut in kernel input traffic).
+        j_blocks = -(-self.n_fft // self.hop)
+        self.hopblock = (
+            self.resident
+            and self.hop <= 128
+            and (j_blocks * 128) / self.n_fft <= 1.3
+        )
+        if self.resident:
+            # Block-row-major basis for the hop-block kernel: row j*128+s is
+            # DFT basis row j*hop+s (s < hop; lanes hop..127 zero, matching
+            # the zero lane padding of hop_blocks).
+            self.j_blocks = j_blocks
+            wcb = np.zeros((j_blocks * 128, kf), np.float32)
+            wsb = np.zeros((j_blocks * 128, kf), np.float32)
+            for j in range(j_blocks):
+                lo = j * self.hop
+                n = min(self.hop, self.n_fft - lo)
+                if n > 0:
+                    wcb[j * 128 : j * 128 + n, :n_freqs] = dft_w[lo : lo + n, :n_freqs]
+                    wsb[j * 128 : j * 128 + n, :n_freqs] = dft_w[lo : lo + n, n_freqs:]
+            self.w_cos_blk = jnp.asarray(wcb, compute_dtype)
+            self.w_sin_blk = jnp.asarray(wsb, compute_dtype)
         self.precision = (
             jax.lax.Precision.HIGHEST
             if compute_dtype == jnp.float32
@@ -173,8 +385,32 @@ class PallasLogMel:
         t_pad = _round_up(n_frames, 8)
         cap = self.r_tile_cap
         r_tile = next(r for r in range(cap, 7, -8) if (b * t_pad) % r == 0)
-        frames = frame_waveform(wave.astype(jnp.float32), t_pad, self.hop, self.n_fft)
-        frames = frames.reshape(b * t_pad, self.n_fft).astype(self.compute_dtype)
+        if self.hopblock and t_pad <= 512:
+            rows_pad = _round_up(t_pad - 1 + self.j_blocks, 8)
+            blocked = hop_blocks(
+                wave.astype(self.compute_dtype), t_pad, self.hop, self.n_fft, rows_pad
+            )
+            log_mel = _hopblock_logmel(
+                blocked, self.w_cos_blk, self.w_sin_blk, self.mel_w,
+                k_chunk=self.k_tile, t_frames=t_pad, j_blocks=self.j_blocks,
+                precision=self.precision, interpret=interpret, eps=eps,
+            )
+            return log_mel[:, :n_frames, : self.n_mels]
+        # Cast BEFORE framing: framing only copies samples, so rounding the
+        # waveform to the compute dtype first yields bit-identical frames
+        # while halving the bf16 pre-pass HBM traffic (the frame matrix is
+        # the largest intermediate in the whole front end).
+        frames = frame_waveform(
+            wave.astype(self.compute_dtype), t_pad, self.hop, self.n_fft
+        )
+        frames = frames.reshape(b * t_pad, self.n_fft)
+        if self.resident:
+            log_mel = _resident_logmel(
+                frames, self.w_cos, self.w_sin, self.mel_w,
+                k_chunk=self.k_tile, r_tile=r_tile,
+                precision=self.precision, interpret=interpret, eps=eps,
+            ).reshape(b, t_pad, self.m)
+            return log_mel[:, :n_frames, : self.n_mels]
         partial = _partial_mel(
             frames, self.w_cos, self.w_sin, self.mel_w,
             k_tile=self.k_tile, r_tile=r_tile,

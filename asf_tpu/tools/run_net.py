@@ -5,34 +5,11 @@ reference ``launch_job`` wrapper (utils/misc.py:234-262) — on TPU there is no
 process spawn: one controller drives the whole mesh.
 """
 
-import os
+import os  # noqa: F401  (kept for callers monkeypatching env)
 
+from asf_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache
 
-def _apply_platform_env():
-    """Honour ASF_PLATFORM / ASF_CPU_DEVICES before any backend init.
-
-    Site plugins may rewrite JAX_PLATFORMS at interpreter startup, so a
-    plain env var cannot reliably select the CPU backend for debugging;
-    these are read here, ahead of the first device query.
-    """
-    platform = os.environ.get("ASF_PLATFORM")
-    n_cpu = os.environ.get("ASF_CPU_DEVICES")
-    if n_cpu:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={n_cpu}"
-            ).strip()
-        platform = platform or "cpu"
-    if platform:
-        import jax
-
-        jax.config.update("jax_platforms", platform)
-
-
-_apply_platform_env()
-
-from asf_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+apply_platform_env()
 
 enable_compilation_cache()
 

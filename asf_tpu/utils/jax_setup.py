@@ -13,6 +13,29 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/asf_tpu_jax")
 
 
+def apply_platform_env() -> None:
+    """Honour ASF_PLATFORM / ASF_CPU_DEVICES before any backend init.
+
+    Site plugins may rewrite JAX_PLATFORMS at interpreter startup, so a
+    plain env var cannot reliably select the CPU backend for debugging;
+    these are read here, ahead of the first device query. Used by
+    tools/run_net.py and the scripts/ entry points.
+    """
+    platform = os.environ.get("ASF_PLATFORM")
+    n_cpu = os.environ.get("ASF_CPU_DEVICES")
+    if n_cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_cpu}"
+            ).strip()
+        platform = platform or "cpu"
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     # CPU-backend AOT cache entries embed machine features and XLA warns of
     # possible SIGILL when reloaded; the cache only pays off for the slow

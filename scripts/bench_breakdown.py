@@ -138,7 +138,9 @@ def main():
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(state).params)
+            # host read, not block_until_ready: through the relay the latter
+            # can resolve before execution (CLAUDE.md benchmark-timing note)
+            float(f(state).step)
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -154,7 +154,7 @@ def test_prefetcher_macro_grouping():
     # 5 batches of one shape -> macro(2), macro(2), single tail
     batches = [_make_batch(rng, cfg, offset=i) for i in range(5)]
     out = list(DevicePrefetcher(iter(batches), depth=2, group=2))
-    kinds = [k for k, _ in out]
+    kinds = [k for k, _, _ in out]
     assert kinds == ["macro", "macro", "single"]
     macro0 = out[0][1]
     assert macro0["waveform"].shape[0] == 2
@@ -172,7 +172,7 @@ def test_prefetcher_macro_grouping():
         _make_batch(rng, cfg, b=2, offset=2),
     ]
     out = list(DevicePrefetcher(iter(mixed), depth=2, group=2))
-    assert [k for k, _ in out] == ["single", "macro"]
+    assert [k for k, _, _ in out] == ["single", "macro"]
     assert out[1][1]["waveform"].shape[:2] == (2, 2)
 
     # metadata is dropped from macro batches, kept on singles

@@ -89,6 +89,33 @@ def test_pallas_bf16_mode_is_close():
     assert np.max(np.abs(got - want)) < 0.6
 
 
+def test_hopblock_kernel_matches_f32_path():
+    """The bf16 hop-block kernel (production geometry: hop 120 -> 128-lane
+    blocks, frames rebuilt in VMEM) must match the f32 XLA path to bf16
+    tolerance, including n_valid edge replication."""
+    cfg = get_cfg()
+    cfg.AUDIO_DATA.CLIP_SECS = 0.3  # keep interpret-mode runtime small
+    cfg.AUDIO_DATA.NUM_FRAMES = 61
+    cfg.TPU.USE_PALLAS_DSP = True
+    cfg.TPU.DSP_PRECISION = "BFLOAT16"
+    p = LogMelParams(cfg)
+    assert p.pallas.hopblock  # 24 kHz geometry selects the hop-block path
+
+    cfg_f = _small_cfg(pallas=False)
+    cfg_f = get_cfg()
+    cfg_f.AUDIO_DATA.CLIP_SECS = 0.3
+    cfg_f.AUDIO_DATA.NUM_FRAMES = 61
+    pf = LogMelParams(cfg_f)
+
+    rng = np.random.default_rng(5)
+    wave = jnp.asarray((rng.standard_normal((2, p.clip_samples)) * 0.2).astype(np.float32))
+    n_valid = jnp.asarray([p.clip_samples, p.clip_samples // 3], jnp.int32)
+    got = np.asarray(log_mel_spectrogram(wave, p, n_valid_samples=n_valid))
+    want = np.asarray(log_mel_spectrogram(wave, pf, n_valid_samples=n_valid))
+    assert np.mean(np.abs(got - want)) < 0.05
+    assert np.max(np.abs(got - want)) < 0.6
+
+
 @pytest.mark.parametrize("batch", [1, 5])
 def test_pallas_odd_batch_row_tiling(batch):
     """Row-tile selection must handle batches that don't divide 256."""
