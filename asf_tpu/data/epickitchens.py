@@ -73,8 +73,11 @@ class EpicKitchens:
         self.clip_size = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS))
         self.clip_samples = self.clip_size - 1
         self._epoch = 0
+        self.int16 = bool(cfg.TPU.INT16_TRANSFER) if "TPU" in cfg else False
 
         self._construct_loader()
+        if self.int16:
+            self._probe_int16()
 
     def set_epoch(self, epoch: int):
         """Re-key the per-item rng stream (DistributedSampler.set_epoch
@@ -122,14 +125,91 @@ class EpicKitchens:
             self._h5_local.f = h5py.File(self.cfg.EPICKITCHENS.AUDIO_DATA_FILE, "r")
         return self._h5_local.f
 
+    def _probe_int16(self):
+        """Decide the int16-transfer path DATASET-WIDE, not per item (a mixed
+        int16/float32 batch stream would flap the jitted step's input dtype —
+        see Vggsound._probe_int16 for the compile-thrash rationale).
+
+        The real train/eval loop on this rig is H2D-wire-bound (PROFILE.md
+        §2), so shipping raw 16-bit PCM instead of float32 halves the bytes
+        per clip and nearly doubles end-to-end loader throughput. The EPIC
+        HDF5 (tools/wav_to_hdf5.py; reference src/make_hdf5_dataset.py keeps
+        librosa's float32) is int16-transferable when either
+
+          * datasets are stored as int16 directly (wav_to_hdf5 --int16), or
+          * the float32 samples all sit exactly on the 16-bit PCM grid
+            (v * 32768 integral in [-32768, 32767]) — true when the archive
+            came from 16-bit wavs at the native sampling rate.
+
+        Waveform augmentations (annotation column ``transformation``) run on
+        the host in float and leave the grid, so any transformed record
+        disables the path. The float probe samples the head of up to 8
+        videos; a pathological archive that leaves the grid mid-file would
+        pass the probe, but such files do not arise from PCM sources.
+        """
+        if any(
+            getattr(r, "transformation", "none") != "none"
+            for r in self._audio_records
+        ):
+            logger.warning(
+                "TPU.INT16_TRANSFER disabled for %s %s: waveform "
+                "transformations present (float-domain augmentation leaves "
+                "the 16-bit PCM grid)", type(self).__name__, self.mode,
+            )
+            self.int16 = False
+            return
+        try:
+            f = self._h5()
+        except OSError:
+            self.int16 = False  # __getitem__ will surface the real IO error
+            return
+        probed = 0
+        for vid in dict.fromkeys(
+            r.untrimmed_video_name for r in self._audio_records
+        ):
+            if probed >= 8:
+                break
+            dset = f.get(vid)
+            if dset is None:
+                continue
+            if dset.dtype == np.int16:
+                probed += 1
+                continue
+            head = np.asarray(dset[: min(dset.shape[0], 65536)], np.float32)
+            v = head * 32768.0
+            if not (
+                dset.dtype == np.float32
+                and np.all(v == np.rint(v))
+                and (v.size == 0 or (v.min() >= -32768.0 and v.max() <= 32767.0))
+            ):
+                logger.warning(
+                    "TPU.INT16_TRANSFER disabled for %s %s: %s is %s and not "
+                    "on the 16-bit PCM grid", type(self).__name__, self.mode,
+                    vid, dset.dtype,
+                )
+                self.int16 = False
+                return
+            probed += 1
+
     def _read_region(self, video_id: str, start: int, end: int) -> np.ndarray:
-        """Region read with zero-padding outside the video bounds."""
+        """Region read with zero-padding outside the video bounds.
+
+        Returns raw int16 PCM when the dataset-wide int16-transfer probe
+        passed (the jitted input pipeline applies the /32768 scale on device,
+        engine/steps.py make_input_pipeline), else float32.
+        """
         dset = self._h5()[video_id]
         n = dset.shape[0]
         a, b = max(0, int(start)), min(n, int(end))
-        out = np.zeros(int(end) - int(start), dtype=np.float32)
+        out = np.zeros(int(end) - int(start), dtype=np.int16 if self.int16 else np.float32)
         if b > a:
-            out[a - int(start) : b - int(start)] = dset[a:b]
+            chunk = dset[a:b]
+            if self.int16 and chunk.dtype != np.int16:
+                # Exact: the probe established every value is k/32768.
+                chunk = (chunk.astype(np.float32) * 32768.0).astype(np.int16)
+            elif not self.int16 and chunk.dtype == np.int16:
+                chunk = chunk.astype(np.float32) / 32768.0
+            out[a - int(start) : b - int(start)] = chunk
         return out
 
     # -- item assembly -----------------------------------------------------
@@ -169,7 +249,7 @@ class EpicKitchens:
         record = self._audio_records[index]
         tsi = -1 if self.mode in ["train", "val", "train+val"] else self._temporal_idx[index]
         start, n_valid = self._clip_for_record(record, tsi, rng)
-        wave = np.zeros(self.clip_samples, np.float32)
+        wave = np.zeros(self.clip_samples, np.int16 if self.int16 else np.float32)
         region = self._read_region(record.untrimmed_video_name, start, start + n_valid)
         wave[: len(region)] = self._apply_transform(record, region, rng)[: self.clip_samples]
         return {
@@ -195,7 +275,9 @@ class EpicKitchens:
             region_end = seg_start + (n_windows - 1) * sr + self.clip_size
         region = self._read_region(record.untrimmed_video_name, seg_start, region_end)
 
-        waves = np.zeros((n_windows, self.clip_samples), np.float32)
+        waves = np.zeros(
+            (n_windows, self.clip_samples), np.int16 if self.int16 else np.float32
+        )
         n_valid = np.zeros((n_windows,), np.int32)
         for i in range(n_windows):
             if record.num_audio_samples < self.clip_size:

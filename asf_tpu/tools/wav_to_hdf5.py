@@ -21,12 +21,17 @@ import h5py
 import numpy as np
 
 
-def load_audio(root: str, fname: str, target_sr: int):
+def load_audio(root: str, fname: str, target_sr: int, int16: bool = False):
     from asf_tpu.data.vggsound import load_wav
 
-    samples, sr = load_wav(os.path.join(root, fname))
+    samples, sr = load_wav(os.path.join(root, fname), keep_int16=int16)
     assert sr == target_sr, f"Sampling rate of audio files should be {target_sr} ({fname})"
     assert samples.ndim == 1, f"Audio files should be mono ({fname})"
+    if int16:
+        assert samples.dtype == np.int16, (
+            f"--int16 needs mono 16-bit PCM sources ({fname} is {samples.dtype})"
+        )
+        return samples, os.path.splitext(fname)[0]
     return samples.astype(np.float32), os.path.splitext(fname)[0]
 
 
@@ -42,6 +47,13 @@ def main(argv=None):
         default=10.0,
         help="HDF5 chunk length in seconds (enables fast region reads)",
     )
+    parser.add_argument(
+        "--int16",
+        action="store_true",
+        help="Store raw 16-bit PCM datasets (half the disk + read bytes; the "
+        "loader ships them straight to the device under TPU.INT16_TRANSFER). "
+        "Requires mono int16 wav sources.",
+    )
     args = parser.parse_args(argv)
 
     wavs = sorted(f for f in os.listdir(args.audio_dir) if f.endswith(".wav"))
@@ -49,7 +61,7 @@ def main(argv=None):
     with h5py.File(args.output_file, "w") as out:
         with ThreadPoolExecutor(max_workers=args.jobs) as pool:
             futures = [
-                pool.submit(load_audio, args.audio_dir, f, args.sampling_rate)
+                pool.submit(load_audio, args.audio_dir, f, args.sampling_rate, args.int16)
                 for f in wavs
             ]
             for fut in futures:

@@ -74,7 +74,7 @@ def _canonical_batches(cfg, batch_size):
         for nb in sorted(set(buckets)):
             batches.append(
                 {
-                    "waveform": np.zeros((batch_size, nb, clip), np.float32),
+                    "waveform": np.zeros((batch_size, nb, clip), wave_dtype),
                     "n_valid": np.ones((batch_size, nb), np.int32),
                     "lengths": np.ones((batch_size,), np.int32),
                     "noun_embedding": np.zeros((batch_size, 512), np.float32),

@@ -327,3 +327,138 @@ def test_collate_rescues_mixed_dtype_batch():
     # pure-int16 batches keep the int16 wire format
     batch16 = collate([item(pcm, 0), item(pcm, 1)])
     assert batch16["waveform"].dtype == np.int16
+
+
+def _align_epic_h5(root, int16_native=False, seed=7):
+    """Rewrite the fixture HDF5 with 16-bit-PCM-grid values (what a real
+    archive built from int16 wavs contains), optionally stored as raw int16
+    datasets (wav_to_hdf5 --int16)."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    path = os.path.join(root, "EPIC_audio.hdf5")
+    with h5py.File(path, "a") as f:
+        for vid in list(f.keys()):
+            n = f[vid].shape[0]
+            pcm = rng.integers(-6000, 6000, n).astype(np.int16)
+            del f[vid]
+            f.create_dataset(
+                vid, data=pcm if int16_native else pcm.astype(np.float32) / 32768.0
+            )
+    return path
+
+
+def test_epic_int16_transfer_parity(tmp_path):
+    """A grid-aligned EPIC HDF5 ships raw int16 under TPU.INT16_TRANSFER;
+    scaling back by /32768 must reproduce the float path bit-for-bit
+    (the jitted pipeline applies the same scale on device)."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    _align_epic_h5(root)
+    cfg = epic_cfg(root)
+
+    cfg.TPU.INT16_TRANSFER = True
+    ds16 = build_dataset("EpicKitchens", cfg, "train")
+    assert ds16.int16 is True
+    cfg.TPU.INT16_TRANSFER = False
+    dsf = build_dataset("EpicKitchens", cfg, "train")
+
+    for i in range(len(ds16)):
+        a, b = ds16[i], dsf[i]
+        assert a["waveform"].dtype == np.int16
+        assert b["waveform"].dtype == np.float32
+        assert int(a["n_valid"]) == int(b["n_valid"])
+        np.testing.assert_array_equal(
+            a["waveform"].astype(np.float32) / 32768.0, b["waveform"]
+        )
+
+
+def test_epic_int16_gru_items(tmp_path):
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    _align_epic_h5(root)
+    cfg = epic_cfg(root, gru=True)
+    cfg.TPU.INT16_TRANSFER = True
+    ds16 = build_dataset("EpicKitchensGRU", cfg, "train")
+    assert ds16.int16 is True
+    cfg.TPU.INT16_TRANSFER = False
+    dsf = build_dataset("EpicKitchensGRU", cfg, "train")
+    a, b = ds16[1], dsf[1]
+    assert a["waveform"].dtype == np.int16 and a["waveform"].ndim == 2
+    np.testing.assert_array_equal(
+        a["waveform"].astype(np.float32) / 32768.0, b["waveform"]
+    )
+    np.testing.assert_array_equal(a["n_valid"], b["n_valid"])
+
+
+def test_epic_int16_disabled_on_unaligned_archive(tmp_path):
+    """The stock fixture stores arbitrary float32 noise (off the PCM grid):
+    the construct-time probe must fall back to float32 items."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    cfg.TPU.INT16_TRANSFER = True
+    ds = build_dataset("EpicKitchens", cfg, "train")
+    assert ds.int16 is False
+    assert ds[0]["waveform"].dtype == np.float32
+
+
+def test_epic_int16_disabled_on_transforms(tmp_path):
+    """Waveform augmentations run on the host in float and leave the PCM
+    grid; any transformed record disables the int16 wire format."""
+    import pandas as pd
+
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    _align_epic_h5(root)
+    ann = os.path.join(root, "annotations.pkl")
+    df = pd.read_pickle(ann)
+    df["transformation"] = ["none"] * (len(df) - 1) + ["pitch_shift"]
+    df.to_pickle(ann)
+    cfg = epic_cfg(root)
+    cfg.TPU.INT16_TRANSFER = True
+    ds = build_dataset("EpicKitchens", cfg, "train")
+    assert ds.int16 is False
+    assert ds[0]["waveform"].dtype == np.float32
+
+
+def test_epic_int16_native_archive_and_float_fallback(tmp_path):
+    """An int16-native HDF5 (wav_to_hdf5 --int16) is served raw under
+    INT16_TRANSFER and scaled to float32 when the flag is off."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    _align_epic_h5(root, int16_native=True)
+    cfg = epic_cfg(root)
+    cfg.TPU.INT16_TRANSFER = True
+    ds16 = build_dataset("EpicKitchens", cfg, "train")
+    assert ds16.int16 is True
+    assert ds16[0]["waveform"].dtype == np.int16
+    cfg.TPU.INT16_TRANSFER = False
+    dsf = build_dataset("EpicKitchens", cfg, "train")
+    a, b = ds16[2], dsf[2]
+    assert b["waveform"].dtype == np.float32
+    np.testing.assert_array_equal(
+        a["waveform"].astype(np.float32) / 32768.0, b["waveform"]
+    )
+
+
+def test_wav_to_hdf5_int16_flag(tmp_path):
+    """--int16 stores raw PCM datasets the EPIC reader recognises."""
+    import h5py
+    from scipy.io import wavfile
+
+    from asf_tpu.tools.wav_to_hdf5 import main as wav_to_hdf5_main
+
+    root = str(tmp_path)
+    audio_dir = os.path.join(root, "wavs")
+    os.makedirs(audio_dir)
+    rng = np.random.default_rng(11)
+    sr = 24000
+    for i in range(2):
+        pcm = (rng.standard_normal(sr) * 6000).astype(np.int16)
+        wavfile.write(os.path.join(audio_dir, f"P99_{i:02d}.wav"), sr, pcm)
+    out = os.path.join(root, "audio16.hdf5")
+    wav_to_hdf5_main([audio_dir, out, "--sampling_rate", str(sr), "--int16"])
+    with h5py.File(out, "r") as f:
+        assert set(f.keys()) == {"P99_00", "P99_01"}
+        assert all(f[k].dtype == np.int16 for k in f)
