@@ -60,6 +60,11 @@ class LogMelParams:
         self.dft_w = np.concatenate([w_cos, w_sin], axis=1)
         self.mel_w = mel_filterbank(self.sr, self.n_fft, self.n_mels).T  # (n_freqs, n_mels)
         self.n_freqs = 1 + self.n_fft // 2
+        # Nonzero row extent of the window-folded basis (the Hann window is
+        # centre-padded into n_fft, mel.py padded_window) — kernels contract
+        # over this support only; outside rows are exactly zero.
+        nz = np.flatnonzero(np.abs(self.dft_w).sum(axis=1) > 0.0)
+        self.support = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, self.n_fft)
 
         tpu_cfg = getattr(cfg, "TPU", None)
         prec_name = tpu_cfg.DSP_PRECISION if tpu_cfg is not None else "HIGHEST"
@@ -92,7 +97,8 @@ class LogMelParams:
 
 
 def _windowed_dft(
-    wave: jnp.ndarray, dft_w: jnp.ndarray, n_fft: int, hop: int, precision
+    wave: jnp.ndarray, dft_w: jnp.ndarray, n_fft: int, hop: int, precision,
+    support: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """(B, S) -> (B, n_frames, 2*n_freqs) windowed real-DFT coefficients.
 
@@ -100,11 +106,22 @@ def _windowed_dft(
     2*n_freqs filters are the window-scaled cos/sin basis rows — the implicit
     GEMM form (cf. nnAudio, arXiv:1912.12055). No frame tensor is ever
     materialised; XLA maps it straight onto the MXU.
+
+    ``support=(s0, s1)``: nonzero row extent of the window-folded basis. The
+    reference centre-pads a short Hann window into n_fft (win 240 vs n_fft
+    2048 at production geometry), so the conv filters can be cut to the
+    support width — bit-identical coefficients, n_fft/(s1-s0) fewer flops.
     """
+    s0, s1 = support if support is not None else (0, n_fft)
     pad = n_fft // 2
-    padded = jnp.pad(wave, ((0, 0), (pad, pad)))
-    # lhs (B, C=1, S); rhs (O=2*n_freqs, I=1, K=n_fft)
-    rhs = jnp.transpose(dft_w)[:, None, :]
+    # Frame i covers padded[i*hop : i*hop + n_fft]; its support slice starts
+    # at i*hop + s0, so shifting the conv input by s0 keeps frame starts
+    # aligned while the filters shrink to (s1 - s0) taps.
+    padded = jnp.pad(wave, ((0, 0), (pad - min(s0, pad), pad)))
+    if s0 > pad:  # window support starts past the centre padding
+        padded = padded[:, s0 - pad :]
+    # lhs (B, C=1, S); rhs (O=2*n_freqs, I=1, K=s1-s0)
+    rhs = jnp.transpose(dft_w[s0:s1])[:, None, :]
     out = jax.lax.conv_general_dilated(
         padded[:, None, :],
         rhs,
@@ -142,7 +159,8 @@ def log_mel_spectrogram(
         log_mel = params.pallas(wave, n_frames, eps=eps)  # (B, T, n_mels)
     else:
         spec = _windowed_dft(
-            wave, jnp.asarray(params.dft_w), params.n_fft, params.hop, params.precision
+            wave, jnp.asarray(params.dft_w), params.n_fft, params.hop,
+            params.precision, support=params.support,
         )  # (B, T, 2*n_freqs)
         re = spec[..., : params.n_freqs]
         im = spec[..., params.n_freqs :]

@@ -46,24 +46,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def frame_waveform(wave: jnp.ndarray, t_frames: int, hop: int, n_fft: int) -> jnp.ndarray:
-    """(B, S) centred waveform -> (B, t_frames, n_fft) overlapping frames.
+def frame_waveform(wave: jnp.ndarray, t_frames: int, hop: int, n_fft: int,
+                   support: tuple[int, int] | None = None) -> jnp.ndarray:
+    """(B, S) centred waveform -> (B, t_frames, K) overlapping frame slices.
 
     Frame ``i`` is ``padded[i*hop : i*hop + n_fft]`` with the librosa centre
     padding (n_fft//2 zeros) prepended. Because every frame start is
     hop-aligned, the frame matrix is a concatenation of ``J = ceil(n_fft/hop)``
     shifted views of the hop-blocked waveform — dense slices, no gather.
+
+    ``support=(s0, s1)`` emits only frame columns [s0, s1) — the window's
+    nonzero extent. The reference centre-pads a short Hann window into n_fft
+    (win_length=240 vs n_fft=2048 at production geometry, dsp/mel.py
+    ``padded_window``), so ~88% of the DFT basis rows are exactly zero;
+    slicing frames to the support cuts the DFT GEMM contraction (and this
+    pre-pass's HBM traffic) by n_fft/(s1-s0) with bit-identical results.
     """
     b, s = wave.shape
     pad_front = n_fft // 2
-    j_blocks = -(-n_fft // hop)  # ceil
+    s0, s1 = support if support is not None else (0, n_fft)
+    j_lo, j_hi = s0 // hop, (s1 - 1) // hop
+    j_blocks = -(-n_fft // hop)  # ceil: row count matches the full layout
     need = (t_frames - 1 + j_blocks) * hop  # samples after front pad
     padded = jnp.pad(wave, ((0, 0), (pad_front, max(0, need - s - pad_front))))
     padded = padded[:, :need]
     blocked = padded.reshape(b, t_frames - 1 + j_blocks, hop)
-    shifts = [blocked[:, j : j + t_frames] for j in range(j_blocks)]
-    frames = jnp.stack(shifts, axis=2).reshape(b, t_frames, j_blocks * hop)
-    return frames[:, :, :n_fft]
+    shifts = [blocked[:, j : j + t_frames] for j in range(j_lo, j_hi + 1)]
+    frames = jnp.stack(shifts, axis=2).reshape(b, t_frames, (j_hi - j_lo + 1) * hop)
+    return frames[:, :, s0 - j_lo * hop : s0 - j_lo * hop + (s1 - s0)]
 
 
 def hop_blocks(wave: jnp.ndarray, t_frames: int, hop: int, n_fft: int,
@@ -87,7 +97,7 @@ def hop_blocks(wave: jnp.ndarray, t_frames: int, hop: int, n_fft: int,
 
 
 def _kernel_hopblock(blocked_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *,
-                     precision, k_chunk, nk, j_blocks, t_frames, eps):
+                     precision, k_chunk, nk, j_blocks, j_off, t_frames, eps):
     """Per-sample log-mel from hop blocks; frames exist only in VMEM.
 
     blocked_ref: (1, rows_pad, 128) hop blocks of ONE waveform.
@@ -101,6 +111,12 @@ def _kernel_hopblock(blocked_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *,
     (B*T, n_fft) frame materialisation entirely (at n_fft=2048, hop=120 that
     pre-pass wrote 17x the waveform bytes and cost as much HBM time as the
     kernel's compute).
+
+    ``j_blocks``/``j_off`` cover only the WINDOW SUPPORT: the Hann window is
+    centre-padded into n_fft (win 240 vs n_fft 2048 at production geometry),
+    so basis rows outside [j_off*hop, (j_off+j_blocks)*hop) are exactly zero
+    and their block GEMMs are skipped — 18 -> 3 blocks, 6x fewer DFT flops,
+    bit-identical output.
     """
     blk = blocked_ref[0]
     m = out_ref.shape[-1]
@@ -110,7 +126,7 @@ def _kernel_hopblock(blocked_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *,
         re = jnp.zeros((t_frames, k_chunk), jnp.float32)
         im = jnp.zeros((t_frames, k_chunk), jnp.float32)
         for j in range(j_blocks):  # static unroll: static sublane shifts
-            lhs = blk[j : j + t_frames, :]
+            lhs = blk[j_off + j : j_off + j + t_frames, :]
             wc = wcos_ref[pl.dslice(j * 128, 128), pl.dslice(ks, k_chunk)]
             ws = wsin_ref[pl.dslice(j * 128, 128), pl.dslice(ks, k_chunk)]
             re = re + jax.lax.dot_general(
@@ -134,10 +150,11 @@ def _kernel_hopblock(blocked_ref, wcos_ref, wsin_ref, mel_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_chunk", "t_frames", "j_blocks", "precision", "interpret", "eps"),
+    static_argnames=("k_chunk", "t_frames", "j_blocks", "j_off", "precision",
+                     "interpret", "eps"),
 )
 def _hopblock_logmel(blocked, w_cos, w_sin, mel_w, *, k_chunk, t_frames, j_blocks,
-                     precision, interpret, eps):
+                     j_off, precision, interpret, eps):
     b, rows_pad, _ = blocked.shape
     kf = w_cos.shape[1]
     m = mel_w.shape[1]
@@ -148,7 +165,7 @@ def _hopblock_logmel(blocked, w_cos, w_sin, mel_w, *, k_chunk, t_frames, j_block
     return pl.pallas_call(
         functools.partial(
             _kernel_hopblock, precision=precision, k_chunk=k_chunk, nk=nk,
-            j_blocks=j_blocks, t_frames=t_frames, eps=eps,
+            j_blocks=j_blocks, j_off=j_off, t_frames=t_frames, eps=eps,
         ),
         grid=(b,),
         in_specs=[
@@ -311,11 +328,12 @@ class PallasLogMel:
         self.hop = int(hop)
         n_freqs, n_mels = mel_w.shape
         self.compute_dtype = compute_dtype
-        # bf16 production path: the FULL weight stack (~10 MB bf16 at
-        # n_fft=2048) fits VMEM, so the weights-resident kernel streams the
-        # frame matrix exactly once and fuses the freq accumulation + log —
-        # see _kernel_resident. f32 weights are 2x that and do not fit: the
-        # HIGHEST-parity path keeps the partial-tile kernel.
+        # bf16 production path: the support-trimmed weight stack (~1.5 MB
+        # bf16 at production geometry) stays VMEM-resident, so the resident/
+        # hop-block kernels stream the input exactly once and fuse the freq
+        # accumulation + log — see _kernel_resident/_kernel_hopblock. The
+        # HIGHEST-parity path keeps the partial-tile kernel (its bit-match
+        # against librosa is golden-tested; trimming zero rows is exact).
         self.resident = compute_dtype == jnp.bfloat16
         # Tile sizes chosen to stay inside the 16 MB scoped-VMEM budget with
         # Mosaic's double buffering (f32 blocks are 2x the bytes of bf16).
@@ -334,38 +352,59 @@ class PallasLogMel:
         self.m = _round_up(n_mels, 128)
         self.n_mels = n_mels
         kf = _round_up(n_freqs, self.k_tile)
-        w_cos = np.zeros((self.n_fft, kf), np.float32)
-        w_sin = np.zeros((self.n_fft, kf), np.float32)
-        w_cos[:, :n_freqs] = dft_w[:, :n_freqs]
-        w_sin[:, :n_freqs] = dft_w[:, n_freqs:]
+
+        # WINDOW SUPPORT: the reference centre-pads a short Hann window into
+        # n_fft (dsp/mel.py padded_window; win 240 vs n_fft 2048 at the
+        # production geometry), so only rows [s0, s1) of the window-folded
+        # basis are nonzero. Every kernel contracts over the support only —
+        # dropping exactly-zero basis rows is bit-identical and cuts the DFT
+        # GEMM flops by n_fft/(s1-s0) (~8x at production geometry).
+        nz = np.flatnonzero(np.abs(dft_w).sum(axis=1) > 0.0)
+        s0, s1 = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, self.n_fft)
+        # 128-aligned support for the frames-resident/partial kernels (the
+        # contraction dim is the frame lane axis).
+        self.s0a = (s0 // 128) * 128
+        self.s1a = min(self.n_fft, _round_up(s1, 128))
+        self.ksup = self.s1a - self.s0a
+
+        w_cos = np.zeros((self.ksup, kf), np.float32)
+        w_sin = np.zeros((self.ksup, kf), np.float32)
+        w_cos[:, :n_freqs] = dft_w[self.s0a : self.s1a, :n_freqs]
+        w_sin[:, :n_freqs] = dft_w[self.s0a : self.s1a, n_freqs:]
         melp = np.zeros((kf, self.m), np.float32)
         melp[:n_freqs, :n_mels] = mel_w
         self.w_cos = jnp.asarray(w_cos, compute_dtype)
         self.w_sin = jnp.asarray(w_sin, compute_dtype)
         self.mel_w = jnp.asarray(melp, compute_dtype)
-        # Hop-block kernel eligibility: lanes are padded hop -> 128, so the
-        # contraction waste is (j_blocks*128)/n_fft — worthwhile only when
-        # hop is near the lane width (production 24 kHz geometry: hop 120 ->
-        # 12.5% extra flops for a 17x cut in kernel input traffic).
-        j_blocks = -(-self.n_fft // self.hop)
+
+        # Hop-block kernel: covers support blocks [j_lo, j_hi] only (lanes are
+        # padded hop -> 128). It trades a wider contraction (j_eff*128 vs the
+        # aligned support ksup) for skipping the frames pre-pass, whose HBM
+        # traffic scales with ksup — so it wins only for WIDE supports
+        # (measured v5e, batch 128: ksup 2048 -> hop-block 2.17 ms vs
+        # frames-resident 3.77; ksup 256 -> 0.67 vs 0.60).
+        j_lo, j_hi = s0 // self.hop, (s1 - 1) // self.hop
+        j_eff = j_hi - j_lo + 1
+        self.j_blocks = -(-self.n_fft // self.hop)  # full row count (layout)
+        self.j_eff, self.j_lo = j_eff, j_lo
         self.hopblock = (
             self.resident
             and self.hop <= 128
-            and (j_blocks * 128) / self.n_fft <= 1.3
+            and self.ksup > 512
+            and (j_eff * 128) / self.ksup <= 1.55
         )
         if self.resident:
-            # Block-row-major basis for the hop-block kernel: row j*128+s is
-            # DFT basis row j*hop+s (s < hop; lanes hop..127 zero, matching
-            # the zero lane padding of hop_blocks).
-            self.j_blocks = j_blocks
-            wcb = np.zeros((j_blocks * 128, kf), np.float32)
-            wsb = np.zeros((j_blocks * 128, kf), np.float32)
-            for j in range(j_blocks):
-                lo = j * self.hop
+            # Block-row-major basis for the hop-block kernel: row jj*128+s is
+            # DFT basis row (j_lo+jj)*hop+s (s < hop; lanes hop..127 zero,
+            # matching the zero lane padding of hop_blocks).
+            wcb = np.zeros((j_eff * 128, kf), np.float32)
+            wsb = np.zeros((j_eff * 128, kf), np.float32)
+            for jj in range(j_eff):
+                lo = (j_lo + jj) * self.hop
                 n = min(self.hop, self.n_fft - lo)
                 if n > 0:
-                    wcb[j * 128 : j * 128 + n, :n_freqs] = dft_w[lo : lo + n, :n_freqs]
-                    wsb[j * 128 : j * 128 + n, :n_freqs] = dft_w[lo : lo + n, n_freqs:]
+                    wcb[jj * 128 : jj * 128 + n, :n_freqs] = dft_w[lo : lo + n, :n_freqs]
+                    wsb[jj * 128 : jj * 128 + n, :n_freqs] = dft_w[lo : lo + n, n_freqs:]
             self.w_cos_blk = jnp.asarray(wcb, compute_dtype)
             self.w_sin_blk = jnp.asarray(wsb, compute_dtype)
         self.precision = (
@@ -392,8 +431,9 @@ class PallasLogMel:
             )
             log_mel = _hopblock_logmel(
                 blocked, self.w_cos_blk, self.w_sin_blk, self.mel_w,
-                k_chunk=self.k_tile, t_frames=t_pad, j_blocks=self.j_blocks,
-                precision=self.precision, interpret=interpret, eps=eps,
+                k_chunk=self.k_tile, t_frames=t_pad, j_blocks=self.j_eff,
+                j_off=self.j_lo, precision=self.precision, interpret=interpret,
+                eps=eps,
             )
             return log_mel[:, :n_frames, : self.n_mels]
         # Cast BEFORE framing: framing only copies samples, so rounding the
@@ -401,9 +441,10 @@ class PallasLogMel:
         # while halving the bf16 pre-pass HBM traffic (the frame matrix is
         # the largest intermediate in the whole front end).
         frames = frame_waveform(
-            wave.astype(self.compute_dtype), t_pad, self.hop, self.n_fft
+            wave.astype(self.compute_dtype), t_pad, self.hop, self.n_fft,
+            support=(self.s0a, self.s1a),
         )
-        frames = frames.reshape(b * t_pad, self.n_fft)
+        frames = frames.reshape(b * t_pad, self.ksup)
         if self.resident:
             log_mel = _resident_logmel(
                 frames, self.w_cos, self.w_sin, self.mel_w,

@@ -87,15 +87,19 @@ def main():
     print(f"batch {BATCH}, t_frames {t_frames} (pad {t_pad}), n_fft {p.n_fft}, "
           f"kf_res {pal.w_cos.shape[1]}", flush=True)
 
+    sup = (pal.s0a, pal.s1a)
     t = chain_timer(
-        lambda w: frame_waveform(w, t_pad, pal.hop, pal.n_fft).astype(jnp.bfloat16), wave
+        lambda w: frame_waveform(
+            w, t_pad, pal.hop, pal.n_fft, support=sup
+        ).astype(jnp.bfloat16),
+        wave,
     )
-    print(f"frame      : {t*1e3:7.2f} ms", flush=True)
+    print(f"frame      : {t*1e3:7.2f} ms  (support {pal.ksup}/{pal.n_fft})", flush=True)
 
     # resident kernel (frames rebuilt in-chain so timing includes nothing else)
     def res_only(w):
-        f = frame_waveform(w, t_pad, pal.hop, pal.n_fft)
-        f = f.reshape(BATCH * t_pad, pal.n_fft).astype(jnp.bfloat16)
+        f = frame_waveform(w, t_pad, pal.hop, pal.n_fft, support=sup)
+        f = f.reshape(BATCH * t_pad, pal.ksup).astype(jnp.bfloat16)
         return _resident_logmel(
             f, pal.w_cos, pal.w_sin, pal.mel_w,
             k_chunk=pal.k_tile, r_tile=256,
@@ -111,8 +115,8 @@ def main():
     pal2.resident = False
 
     def part_only(w):
-        f = frame_waveform(w, t_pad, pal2.hop, pal2.n_fft)
-        f = f.reshape(BATCH * t_pad, pal2.n_fft).astype(jnp.bfloat16)
+        f = frame_waveform(w, t_pad, pal2.hop, pal2.n_fft, support=(pal2.s0a, pal2.s1a))
+        f = f.reshape(BATCH * t_pad, pal2.ksup).astype(jnp.bfloat16)
         part = _partial_mel(
             f, pal2.w_cos, pal2.w_sin, pal2.mel_w,
             k_tile=256, r_tile=512,

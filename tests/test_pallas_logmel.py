@@ -99,7 +99,11 @@ def test_hopblock_kernel_matches_f32_path():
     cfg.TPU.USE_PALLAS_DSP = True
     cfg.TPU.DSP_PRECISION = "BFLOAT16"
     p = LogMelParams(cfg)
-    assert p.pallas.hopblock  # 24 kHz geometry selects the hop-block path
+    # Narrow trimmed support auto-selects frames-resident; force the
+    # hop-block kernel to keep it covered (it remains the production choice
+    # for wide-support geometries, e.g. win_length == n_fft).
+    assert p.pallas.j_eff == 3 and p.pallas.j_lo == 7
+    p.pallas.hopblock = True
 
     cfg_f = _small_cfg(pallas=False)
     cfg_f = get_cfg()
@@ -133,3 +137,59 @@ def test_pallas_odd_batch_row_tiling(batch):
         ]
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_frame_waveform_support_slice_matches_full():
+    """support=(s0, s1) emits exactly columns [s0, s1) of the full framing
+    (the window-support trim that cuts the DFT contraction is a pure slice)."""
+    rng = np.random.default_rng(5)
+    n_fft, hop, t = 64, 12, 30
+    wave = rng.standard_normal((2, 300)).astype(np.float32)
+    full = np.asarray(frame_waveform(jnp.asarray(wave), t, hop, n_fft))
+    for s0, s1 in [(25, 39), (0, 64), (13, 14), (50, 64)]:
+        part = np.asarray(
+            frame_waveform(jnp.asarray(wave), t, hop, n_fft, support=(s0, s1))
+        )
+        np.testing.assert_array_equal(part, full[:, :, s0:s1])
+
+
+def test_support_trim_engages_at_production_geometry():
+    """Production geometry (win 240 centre-padded into n_fft 2048): the
+    kernels must contract over the 256-sample aligned window support and the
+    hop-block kernel over 3 blocks, not 18 — with the oracle match unchanged
+    (zero basis rows contribute exactly zero; dropping them is bit-identical).
+    """
+    cfg = get_cfg()  # production defaults: 24 kHz, n_fft 2048, win 240
+    cfg.TPU.USE_PALLAS_DSP = True
+    cfg.TPU.DSP_PRECISION = "HIGHEST"
+    p = LogMelParams(cfg)
+    pal = p.pallas
+    assert p.support == (905, 1144)
+    assert (pal.s0a, pal.s1a, pal.ksup) == (896, 1152, 256)
+    assert (pal.j_lo, pal.j_eff) == (7, 3)
+    assert pal.w_cos.shape[0] == 256
+
+    rng = np.random.default_rng(7)
+    wave = (rng.standard_normal((2, p.clip_samples)) * 0.2).astype(np.float32)
+    got = np.asarray(log_mel_spectrogram(jnp.asarray(wave), p))
+    want = np.stack(
+        [
+            dspref.pad_to_num_frames(
+                dspref.log_mel_np(cfg, w), max(p.num_frames, 1 + p.clip_samples // p.hop)
+            )
+            for w in wave
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # bf16: narrow support -> frames-resident kernel is auto-selected (the
+    # hop-block pre-pass saving only pays for wide supports); the trimmed
+    # hop-block kernel (j_eff=3) must still match when forced.
+    cfg.TPU.DSP_PRECISION = "BFLOAT16"
+    p16 = LogMelParams(cfg)
+    assert not p16.pallas.hopblock and p16.pallas.j_eff == 3
+    got16 = np.asarray(log_mel_spectrogram(jnp.asarray(wave), p16))
+    np.testing.assert_allclose(got16, want, rtol=0.3, atol=0.3)
+    p16.pallas.hopblock = True
+    got_hb = np.asarray(log_mel_spectrogram(jnp.asarray(wave), p16))
+    np.testing.assert_allclose(got_hb, want, rtol=0.3, atol=0.3)
