@@ -172,15 +172,25 @@ def log_mel_spectrogram(
 
     t_out = out_frames if out_frames is not None else max(params.num_frames, n_frames)
 
-    # Edge-pad / edge-replicate along time via a clamped gather.
-    idx = jnp.arange(t_out)[None, :]  # (1, T_out)
+    # Edge-pad / edge-replicate along time (reference: np.pad(..., 'edge'),
+    # audio_loader_epic.py:66-156). The clamped index min(t, limit-1) is the
+    # identity below ``limit`` and a constant row above it, so instead of a
+    # full (B, T_out, M) gather (VPU-serialised, ~0.13 ms/128 clips — it was
+    # the single most expensive non-conv op in the eval step) gather ONE edge
+    # row per sample and select with an iota mask — bit-identical, fuses into
+    # the consumer.
     if n_valid_samples is not None:
         valid_frames = 1 + n_valid_samples.astype(jnp.int32) // params.hop  # (B,)
         limit = jnp.minimum(valid_frames, n_frames)[:, None]  # (B, 1)
     else:
         limit = jnp.full((wave.shape[0], 1), n_frames, dtype=jnp.int32)
-    gather_idx = jnp.minimum(idx, limit - 1)  # (B, T_out)
-    return jnp.take_along_axis(log_mel, gather_idx[:, :, None], axis=1)
+    if log_mel.shape[1] < t_out:
+        log_mel = jnp.pad(log_mel, ((0, 0), (0, t_out - log_mel.shape[1]), (0, 0)))
+    else:
+        log_mel = log_mel[:, :t_out]
+    edge = jnp.take_along_axis(log_mel, (limit - 1)[:, :, None], axis=1)  # (B, 1, M)
+    keep = jnp.arange(t_out)[None, :, None] < limit[:, :, None]  # (B, T_out, 1)
+    return jnp.where(keep, log_mel, edge)
 
 
 def make_logmel(cfg):
