@@ -146,6 +146,9 @@ def main():
     cfg.TPU.USE_PALLAS_DSP = True
     cfg.TPU.DSP_PRECISION = "BFLOAT16"
     cfg.TPU.PREFETCH_DEPTH = 2
+    cfg.TPU.STEPS_PER_DISPATCH = int(
+        os.environ.get("ASF_BENCH_K", cfg.TPU.STEPS_PER_DISPATCH)
+    )
     cfg.TRAIN.DATASET = "Vggsound"
     cfg.TRAIN.BATCH_SIZE = BATCH
     cfg.DATA_LOADER.NUM_WORKERS = 16
@@ -233,7 +236,7 @@ def main():
         if kind == "macro":
             jax.block_until_ready(payload["waveform"])
             macros.append(payload)
-        if len(macros) == 3:
+        if len(macros) == min(3, len(loader) // k):
             break
     pf.stop()
     import jax.numpy as jnp
@@ -244,7 +247,7 @@ def main():
     float(_parts["loss"][0])
     t0 = time.perf_counter()
     for i in range(n_disp):
-        state, parts, stats = multi_step(state, macros[i % 3], lrs, rng)
+        state, parts, stats = multi_step(state, macros[i % len(macros)], lrs, rng)
     float(state.step)  # host read: block_until_ready resolves early (relay)
     dt = time.perf_counter() - t0
     clips = n_disp * k * BATCH

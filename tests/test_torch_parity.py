@@ -169,3 +169,82 @@ def test_converter_clear_name_pattern():
     sd = {"backbone.s1.conv.weight": torch.randn(8, 1, 3, 3)}
     fx = torch_state_to_flax(sd, clear_name_patterns=("backbone.",))
     assert "s1" in fx["params"]
+
+
+@pytest.mark.parametrize(
+    "kt,cout,t,f",
+    [
+        (1, 64, 100, 128),   # slow stem geometry
+        (5, 8, 400, 128),    # fast stem geometry
+        (5, 8, 101, 130),    # odd extents
+        (3, 4, 37, 41),
+    ],
+)
+def test_stride2_stem_conv_matches_plain_conv(kt, cout, t, f):
+    """Stride2StemConv (space-to-depth parity regrouping, layers.py) computes
+    the SAME conv as the plain strided nn.Conv on C_in=1 input, with the
+    identical param tree — only the compute graph differs."""
+    from asf_tpu.models.layers import Stride2StemConv
+
+    rng = np.random.default_rng(3)
+    kernel, padding = (kt, 7), (kt // 2, 3)
+    x = jnp.asarray(rng.standard_normal((2, t, f, 1)).astype(np.float32))
+    kern = rng.standard_normal((kt, 7, 1, cout)).astype(np.float32) * 0.2
+
+    want = conv2d(cout, kernel, (2, 2), padding).apply(
+        {"params": {"kernel": kern}}, x
+    )
+    mod = Stride2StemConv(cout, kernel, padding)
+    # init produces the same single-"kernel" param with the same shape
+    init_params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    assert init_params["kernel"].shape == (kt, 7, 1, cout)
+    got = mod.apply({"params": {"kernel": jnp.asarray(kern)}}, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_stem_s2d_bf16_gate_keeps_param_tree():
+    """Under COMPUTE_DTYPE=bfloat16 the stems switch to Stride2StemConv; the
+    param tree must be identical to the f32 (plain conv) build and the
+    forward must agree within bf16 tolerance."""
+    from asf_tpu.config import get_cfg
+    from asf_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AudioSlowFast"
+    cfg.MODEL.NUM_CLASSES = [6]
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.RESNET.DEPTH = 26
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.RESNET.FREQUENCY_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.FREQUENCY_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.AUDIO_DATA.NUM_FRAMES = 64
+    cfg.AUDIO_DATA.NUM_FREQUENCIES = 32
+    cfg.SLOWFAST.ALPHA = 4
+
+    rng = np.random.default_rng(0)
+    slow = jnp.asarray(rng.standard_normal((2, 16, 32, 1)).astype(np.float32) * 0.3)
+    fast = jnp.asarray(rng.standard_normal((2, 64, 32, 1)).astype(np.float32) * 0.3)
+
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    m32 = build_model(cfg)
+    v32 = m32.init(jax.random.PRNGKey(0), [slow, fast], train=False)
+
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    m16 = build_model(cfg)
+    v16 = m16.init(jax.random.PRNGKey(0), [slow, fast], train=False)
+
+    assert jax.tree_util.tree_structure(v32["params"]) == jax.tree_util.tree_structure(
+        v16["params"]
+    )
+    shapes32 = jax.tree.map(lambda a: a.shape, v32["params"])
+    shapes16 = jax.tree.map(lambda a: a.shape, v16["params"])
+    assert shapes32 == shapes16
+
+    # same weights through both compute paths: bf16 rounding only
+    out32 = m32.apply(v32, [slow, fast], train=False)
+    out16 = m16.apply(v32, [slow, fast], train=False)
+    for a, b in zip(jax.tree.leaves(out32), jax.tree.leaves(out16)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=0.1, atol=0.1
+        )
