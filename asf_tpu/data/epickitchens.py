@@ -205,8 +205,13 @@ class EpicKitchens:
         if b > a:
             chunk = dset[a:b]
             if self.int16 and chunk.dtype != np.int16:
-                # Exact: the probe established every value is k/32768.
-                chunk = (chunk.astype(np.float32) * 32768.0).astype(np.int16)
+                # Exact for on-grid values (the probe established head
+                # samples are k/32768); clip first so any off-grid outlier
+                # the head-only probe missed saturates instead of wrapping
+                # through the int16 cast (undefined C truncation).
+                chunk = np.clip(
+                    chunk.astype(np.float32) * 32768.0, -32768.0, 32767.0
+                ).astype(np.int16)
             elif not self.int16 and chunk.dtype == np.int16:
                 chunk = chunk.astype(np.float32) / 32768.0
             out[a - int(start) : b - int(start)] = chunk

@@ -60,12 +60,24 @@ def collate(items: List[Dict[str, Any]], max_windows: Optional[int] = None,
             # bucket is a distinct train-step compile, minutes each on TPU)
             nb = max_windows
         s = first["waveform"].shape[1]
-        waves = np.zeros((len(items), nb, s), np.float32)
+        # Keep the int16 wire format through collation when EVERY chain is
+        # raw PCM (TPU.INT16_TRANSFER; the device pipeline applies the
+        # deferred /32768). A float32 buffer here would silently absorb raw
+        # PCM at ~32768x amplitude — the dtype check the pipeline keys on
+        # only sees the collated batch.
+        all_int16 = all(it["waveform"].dtype == np.int16 for it in items)
+        waves = np.zeros(
+            (len(items), nb, s), np.int16 if all_int16 else np.float32
+        )
         n_valid = np.zeros((len(items), nb), np.int32)
         lengths = np.zeros((len(items),), np.int32)
         for i, it in enumerate(items):
             n = min(int(it["length"]), nb)
-            waves[i, :n] = it["waveform"][:n]
+            w = it["waveform"][:n]
+            if not all_int16 and w.dtype == np.int16:
+                # mixed batch: apply the deferred PCM scale on the odd rows
+                w = w.astype(np.float32) / 32768.0
+            waves[i, :n] = w
             n_valid[i, :n] = it["n_valid"][:n]
             # padded windows: replicate n_valid=1 to keep the on-device
             # edge-pad gather well-defined; their outputs are length-masked.

@@ -88,9 +88,9 @@ class Vggsound:
         (collate additionally rescues genuinely mixed batches)."""
         from scipy.io import wavfile
 
-        seen = set()
+        seen, probed = set(), 0
         for rec in self._audio_records:
-            if len(seen) >= 8:
+            if probed >= 8:
                 break
             name = rec["video"][:-4] + ".wav"
             if name in seen:
@@ -101,6 +101,7 @@ class Vggsound:
                 _, data = wavfile.read(path, mmap=True)
             except (FileNotFoundError, ValueError):
                 continue  # __getitem__ will surface real IO errors
+            probed += 1  # only successfully READ files count toward the cap
             if data.dtype != np.int16 or data.ndim != 1:
                 logger.warning(
                     "TPU.INT16_TRANSFER disabled for Vggsound %s: %s is %s/%dD "

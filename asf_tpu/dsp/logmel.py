@@ -86,6 +86,7 @@ class LogMelParams:
                     self.n_fft,
                     self.hop,
                     compute_dtype=jnp.bfloat16 if self.fast else jnp.float32,
+                    support=self.support,
                 )
             else:
                 import warnings

@@ -142,54 +142,59 @@ def train_epoch(
 
     cur_iter = 0
     train_meter.iter_tic()
-    for item in iter_prefetched(train_loader, cfg, mesh, group=group, lr_fn=lr_at):
-        if isinstance(item, tuple):
-            kind, batch, lr_dev = item  # prefetched: lr already on device
-        else:
-            kind, batch, lr_dev = "single", item, None
-        if profile_dir and not tracing and cur_iter >= prof_start:
-            jax.profiler.start_trace(profile_dir)
-            tracing = True
-        train_meter.data_toc()
+    try:
+        for item in iter_prefetched(train_loader, cfg, mesh, group=group, lr_fn=lr_at):
+            if isinstance(item, tuple):
+                kind, batch, lr_dev = item  # prefetched: lr already on device
+            else:
+                kind, batch, lr_dev = "single", item, None
+            if profile_dir and not tracing and cur_iter >= prof_start:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            train_meter.data_toc()
 
-        if kind == "macro":
-            k = batch["waveform"].shape[0]
-            lrs = [lr_at(cur_iter + i) for i in range(k)]  # host floats: meters
-            lr_vec = (
-                lr_dev
-                if lr_dev is not None
-                else jnp.asarray(np.asarray(lrs, np.float32))
-            )
-            state, parts, stats = multi_step(state, batch, lr_vec, rng)
-            mb_size = batch["waveform"].shape[1]
-        else:
-            k = 1
-            batch.pop("metadata", None)
-            batch = shard_batch(batch, mesh)
-            lrs = [lr_at(cur_iter)]
-            lr_sc = lr_dev if lr_dev is not None else jnp.float32(lrs[0])
-            state, parts, stats = train_step(state, batch, lr_sc, rng)
-            mb_size = batch["waveform"].shape[0]
+            if kind == "macro":
+                k = batch["waveform"].shape[0]
+                lrs = [lr_at(cur_iter + i) for i in range(k)]  # host floats: meters
+                lr_vec = (
+                    lr_dev
+                    if lr_dev is not None
+                    else jnp.asarray(np.asarray(lrs, np.float32))
+                )
+                state, parts, stats = multi_step(state, batch, lr_vec, rng)
+                mb_size = batch["waveform"].shape[1]
+            else:
+                k = 1
+                batch.pop("metadata", None)
+                batch = shard_batch(batch, mesh)
+                lrs = [lr_at(cur_iter)]
+                lr_sc = lr_dev if lr_dev is not None else jnp.float32(lrs[0])
+                state, parts, stats = train_step(state, batch, lr_sc, rng)
+                mb_size = batch["waveform"].shape[0]
 
-        if tracing and cur_iter + k > prof_start + prof_n:
-            jax.block_until_ready(parts["loss"])
+            if tracing and cur_iter + k > prof_start + prof_n:
+                jax.block_until_ready(parts["loss"])
+                jax.profiler.stop_trace()
+                logger.info("Saved profiler trace to %s", profile_dir)
+                tracing, profile_dir = False, ""
+
+            pending.append((cur_iter, parts, stats, lrs, mb_size, k))
+            cur_iter += k
+            if len(pending) * max(1, group) >= log_period:
+                flush()
+
+            train_meter.iter_toc()
+            train_meter.iter_tic()
+
+        flush(block=True)
+    finally:
+        # On an exception mid-epoch (NaN loss raised in apply_host, OOM,
+        # shape error) still reap the metrics thread and any in-flight
+        # device_get, and close an open trace window.
+        fetch_pool.shutdown(wait=False)
+        if tracing:
             jax.profiler.stop_trace()
             logger.info("Saved profiler trace to %s", profile_dir)
-            tracing, profile_dir = False, ""
-
-        pending.append((cur_iter, parts, stats, lrs, mb_size, k))
-        cur_iter += k
-        if len(pending) * max(1, group) >= log_period:
-            flush()
-
-        train_meter.iter_toc()
-        train_meter.iter_tic()
-
-    flush(block=True)
-    fetch_pool.shutdown(wait=False)
-    if tracing:  # epoch shorter than the profiling window
-        jax.profiler.stop_trace()
-        logger.info("Saved profiler trace to %s", profile_dir)
 
     train_meter.log_epoch_stats(cur_epoch)
     train_meter.reset()

@@ -141,12 +141,13 @@ def check_sync_bn_mesh(cfg, mesh):
 
     cfg_dp = data_parallel_size(cfg)
     mesh_dp = int(mesh.shape.get("data", mesh.devices.size))
-    assert cfg_dp == mesh_dp, (
-        f"sync_batchnorm group mismatch: model was built for a data-parallel "
-        f"size of {cfg_dp} (make_mesh(cfg)) but the bound mesh has "
-        f"data={mesh_dp}. Rebuild the model against this mesh or align "
-        f"TPU.DATA_PARALLEL / NUM_GPUS with it."
-    )
+    if cfg_dp != mesh_dp:  # a real raise: must survive `python -O`
+        raise ValueError(
+            f"sync_batchnorm group mismatch: model was built for a "
+            f"data-parallel size of {cfg_dp} (make_mesh(cfg)) but the bound "
+            f"mesh has data={mesh_dp}. Rebuild the model against this mesh "
+            f"or align TPU.DATA_PARALLEL / NUM_GPUS with it."
+        )
 
 
 def make_norm(cfg, dtype=jnp.float32):

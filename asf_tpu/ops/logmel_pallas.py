@@ -323,7 +323,8 @@ class PallasLogMel:
 
     def __init__(self, dft_w: np.ndarray, mel_w: np.ndarray, n_fft: int, hop: int,
                  compute_dtype=jnp.float32, k_tile: int | None = None,
-                 r_tile_cap: int | None = None):
+                 r_tile_cap: int | None = None,
+                 support: tuple[int, int] | None = None):
         self.n_fft = int(n_fft)
         self.hop = int(hop)
         n_freqs, n_mels = mel_w.shape
@@ -359,8 +360,10 @@ class PallasLogMel:
         # basis are nonzero. Every kernel contracts over the support only —
         # dropping exactly-zero basis rows is bit-identical and cuts the DFT
         # GEMM flops by n_fft/(s1-s0) (~8x at production geometry).
-        nz = np.flatnonzero(np.abs(dft_w).sum(axis=1) > 0.0)
-        s0, s1 = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, self.n_fft)
+        if support is None:  # standalone use: derive from the basis itself
+            nz = np.flatnonzero(np.abs(dft_w).sum(axis=1) > 0.0)
+            support = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, self.n_fft)
+        s0, s1 = support  # LogMelParams passes its own (single source of truth)
         # 128-aligned support for the frames-resident/partial kernels (the
         # contraction dim is the frame lane axis).
         self.s0a = (s0 // 128) * 128

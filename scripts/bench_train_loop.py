@@ -236,9 +236,12 @@ def main():
         if kind == "macro":
             jax.block_until_ready(payload["waveform"])
             macros.append(payload)
-        if len(macros) == min(3, len(loader) // k):
+        if len(macros) == min(3, max(1, len(loader) // k)):
             break
     pf.stop()
+    if not macros:
+        print("loop-resident phase skipped: loader too small for one macro")
+        return
     import jax.numpy as jnp
 
     n_disp = 12

@@ -390,6 +390,24 @@ def test_epic_int16_gru_items(tmp_path):
     )
     np.testing.assert_array_equal(a["n_valid"], b["n_valid"])
 
+    # Collation keeps the int16 wire format for all-PCM chain batches (the
+    # device pipeline applies the deferred /32768; a float32 collate buffer
+    # would silently absorb raw PCM at ~32768x amplitude)...
+    from asf_tpu.data.loader import collate
+
+    batch16 = collate([ds16[1], ds16[2]])
+    batchf = collate([dsf[1], dsf[2]])
+    assert batch16["waveform"].dtype == np.int16
+    np.testing.assert_array_equal(
+        batch16["waveform"].astype(np.float32) / 32768.0, batchf["waveform"]
+    )
+    # ...and a MIXED batch (one float chain) falls back to float32 with the
+    # PCM rows scaled on the host.
+    mixed = collate([ds16[1], dsf[2]])
+    assert mixed["waveform"].dtype == np.float32
+    np.testing.assert_array_equal(mixed["waveform"][0], batchf["waveform"][0])
+    np.testing.assert_array_equal(mixed["waveform"][1], batchf["waveform"][1])
+
 
 def test_epic_int16_disabled_on_unaligned_archive(tmp_path):
     """The stock fixture stores arbitrary float32 noise (off the PCM grid):

@@ -105,7 +105,6 @@ def test_hopblock_kernel_matches_f32_path():
     assert p.pallas.j_eff == 3 and p.pallas.j_lo == 7
     p.pallas.hopblock = True
 
-    cfg_f = _small_cfg(pallas=False)
     cfg_f = get_cfg()
     cfg_f.AUDIO_DATA.CLIP_SECS = 0.3
     cfg_f.AUDIO_DATA.NUM_FRAMES = 61

@@ -56,10 +56,10 @@ def test_sync_bn_mesh_consistency_check(cfg):
     check_sync_bn_mesh(cfg, make_mesh(cfg))  # matching mesh: fine
 
     small = make_mesh(cfg, num_devices=2)  # a caller-narrowed mesh
-    with pytest.raises(AssertionError, match="sync_batchnorm group mismatch"):
+    with pytest.raises(ValueError, match="sync_batchnorm group mismatch"):
         check_sync_bn_mesh(cfg, small)
 
-    # non-sync BN never asserts
+    # non-sync BN never raises
     cfg.BN.NORM_TYPE = "batchnorm"
     check_sync_bn_mesh(cfg, small)
 
