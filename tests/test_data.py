@@ -480,3 +480,39 @@ def test_wav_to_hdf5_int16_flag(tmp_path):
     with h5py.File(out, "r") as f:
         assert set(f.keys()) == {"P99_00", "P99_01"}
         assert all(f[k].dtype == np.int16 for k in f)
+
+
+def test_gru_int16_pipeline_parity():
+    """The jitted input pipeline's deferred /32768 must also cover the 3-D
+    GRU chain layout (B, N, S) that the int16-preserving collate now emits
+    (the reshape to (B*N, S) happens AFTER the dtype check)."""
+    import jax.numpy as jnp
+
+    from asf_tpu.config import get_cfg
+    from asf_tpu.engine.steps import make_input_pipeline
+
+    cfg = get_cfg()
+    cfg.AUDIO_DATA.SAMPLING_RATE = 8000
+    cfg.AUDIO_DATA.N_FFT = 256
+    cfg.AUDIO_DATA.CLIP_SECS = 0.32
+    cfg.AUDIO_DATA.NUM_FRAMES = 64
+    cfg.AUDIO_DATA.NUM_FREQUENCIES = 32
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.TPU.DSP_PRECISION = "HIGHEST"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    pipeline = make_input_pipeline(cfg)
+    rng = np.random.default_rng(11)
+    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+    pcm = rng.integers(-32768, 32768, (2, 3, clip)).astype(np.int16)
+    n_valid = np.full((2, 3), clip, np.int32)
+
+    got = pipeline(jnp.asarray(pcm), jnp.asarray(n_valid), None, train=False)
+    want = pipeline(
+        jnp.asarray(pcm.astype(np.float32) / 32768.0),
+        jnp.asarray(n_valid),
+        None,
+        train=False,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
