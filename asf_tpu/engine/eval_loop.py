@@ -215,10 +215,18 @@ def _eval_fused(
         val_meter.data_toc()
         # GRU window-count bucketing yields batches with differing (B, Nb, S)
         # shapes; a macro group must be shape-uniform (np.stack + one compiled
-        # scan). On a signature change, dispatch the partial group as singles
-        # (same guard as perform_test / DevicePrefetcher._shape_sig).
+        # scan). Dtype matters too: an int16-PCM batch next to a same-shape
+        # float32 one (a probe-rescued file under TPU.INT16_TRANSFER) would
+        # np.stack-promote the PCM to float32 WITHOUT the deferred /32768 —
+        # ~32768x amplitude, silently. On a signature change, dispatch the
+        # partial group as singles (same guard as perform_test /
+        # DevicePrefetcher._shape_sig).
         bsig = tuple(
-            sorted((k, v.shape) for k, v in batch.items() if hasattr(v, "shape"))
+            sorted(
+                (k, v.shape, str(v.dtype))
+                for k, v in batch.items()
+                if hasattr(v, "shape")
+            )
         )
         if grp and bsig != sig:
             for b, nr in zip(grp, grp_nreal):

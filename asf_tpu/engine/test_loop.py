@@ -111,7 +111,15 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
         batch, n_real = pad_batch_to(batch, batch_size)
         metadata = batch.pop("metadata", None)
         test_meter.data_toc()
-        bsig = tuple(sorted((k, v.shape) for k, v in batch.items() if hasattr(v, "shape")))
+        # shape AND dtype: a float32-rescued batch amid int16 ones must not
+        # be stacked into one macro (see eval_loop's guard for the failure).
+        bsig = tuple(
+            sorted(
+                (k, v.shape, str(v.dtype))
+                for k, v in batch.items()
+                if hasattr(v, "shape")
+            )
+        )
         if grp and bsig != sig:
             for item in grp:
                 dispatch([item])

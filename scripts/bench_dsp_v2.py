@@ -25,34 +25,7 @@ BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
 ITERS = 10
 
 
-def chain_timer(fn, x0, iters=ITERS):
-    import jax
-    import jax.numpy as jnp
-
-    def chained(x, n):
-        def body(c, _):
-            y = fn(c)
-            leaves = jax.tree.leaves(y)
-            bump = sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
-            return c + 1e-24 * bump.astype(c.dtype), None
-
-        out, _ = jax.lax.scan(body, x, None, length=n)
-        return jnp.sum(out)
-
-    short = jax.jit(lambda w: chained(w, iters))
-    long = jax.jit(lambda w: chained(w, 3 * iters))
-    float(short(x0))
-    float(long(x0))
-
-    def best(f, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(f(x0))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (best(long) - best(short)) / (2 * iters)
+from asf_tpu.utils.timing import chain_timer  # noqa: E402
 
 
 def main():

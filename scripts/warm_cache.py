@@ -35,13 +35,38 @@ apply_platform_env()
 enable_compilation_cache()
 
 
+def _int16_in_effect(cfg):
+    """The waveform dtype the REAL run will dispatch.
+
+    cfg.TPU.INT16_TRANSFER alone is not enough: the datasets run a
+    construct-time probe (off-PCM-grid HDF5, non-mono/non-int16 wavs) that
+    can disable int16 at runtime — and then every program warmed for int16
+    keys would miss the cache. Replicate the decision by constructing the
+    dataset when the data is reachable; fall back to the flag (with a
+    warning) when it is not.
+    """
+    if not cfg.TPU.INT16_TRANSFER:
+        return False
+    try:
+        from asf_tpu.data.build import build_dataset
+
+        ds = build_dataset(cfg.TRAIN.DATASET, cfg, "train")
+        return bool(getattr(ds, "int16", False))
+    except Exception as e:  # data absent: warm for the flag-derived dtype
+        print(
+            f"warm_cache: could not probe the dataset ({type(e).__name__}: {e});"
+            " assuming TPU.INT16_TRANSFER holds — if the real run's probe"
+            " disables int16, re-run warm_cache with the data present."
+        )
+        return True
+
+
 def _canonical_batches(cfg, batch_size):
     """Zero batches with the shapes the loaders collate."""
     import numpy as np
 
     clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
-    int16 = bool(cfg.TPU.INT16_TRANSFER)
-    wave_dtype = np.int16 if int16 else np.float32
+    wave_dtype = np.int16 if _int16_in_effect(cfg) else np.float32
     multitask = len(cfg.MODEL.NUM_CLASSES) > 1
 
     def labels():

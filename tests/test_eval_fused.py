@@ -157,6 +157,90 @@ def test_fused_eval_mixed_shapes_no_crash():
         )
 
 
+def test_fused_eval_dtype_change_not_stacked():
+    """A same-shape dtype flip (int16-PCM batch amid float32 ones, the
+    TPU.INT16_TRANSFER probe-rescue case) must split the macro group: a
+    plain np.stack would promote raw PCM to float32 WITHOUT the deferred
+    /32768 and feed ~32768x-amplitude rows to the model. Fused must equal
+    the legacy per-batch path, which handles each dtype correctly."""
+    from asf_tpu.engine.eval_loop import build_val_meter, eval_epoch
+    from asf_tpu.engine.steps import (
+        init_state,
+        make_eval_metrics_step,
+        make_eval_multi_step,
+        make_eval_step,
+    )
+    from asf_tpu.models import build_model
+
+    cfg = _cfg()
+    model = build_model(cfg)
+    rng = np.random.default_rng(5)
+    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+
+    def mk_f32(b, off):
+        return {
+            "waveform": (rng.standard_normal((b, clip)) * 0.1).astype(np.float32),
+            "n_valid": np.full((b,), clip, np.int32),
+            "labels": {"class_id": rng.integers(0, 6, (b,)).astype(np.int32)},
+            "index": np.arange(b, dtype=np.int32) + off,
+            "metadata": {},
+        }
+
+    def mk_i16(b, off):
+        d = mk_f32(b, off)
+        d["waveform"] = rng.integers(-3000, 3000, (b, clip)).astype(np.int16)
+        return d
+
+    # group=2; the dtype change hits mid-group: [f32, I16], [i16, f32]
+    batches = [mk_f32(4, 0), mk_i16(4, 4), mk_i16(4, 8), mk_f32(4, 12)]
+
+    class _Lazy:
+        def init(self, params):
+            import optax
+
+            return optax.sgd(0.1).init(params)
+
+    state = init_state(cfg, model, _Lazy(), jax.random.PRNGKey(0), batches[0])
+
+    def copies():
+        return _Loader(
+            [{k: (dict(v) if isinstance(v, dict) else v.copy()) for k, v in b.items()}
+             for b in batches]
+        )
+
+    meter_a = build_val_meter(cfg, len(batches))
+    _, top1_a = eval_epoch(copies(), state, make_eval_step(cfg, model), meter_a, 0, cfg)
+
+    # Mechanism guard: every stacked macro group must be dtype-uniform —
+    # top-1 on a random tiny model is too coarse to see the 32768x amplitude
+    # corruption, so assert the grouping itself.
+    import asf_tpu.engine.eval_loop as el
+
+    real_stack = el._stack_batches
+
+    def checked_stack(grp):
+        dts = {str(b["waveform"].dtype) for b in grp}
+        assert len(dts) == 1, f"mixed-dtype macro group stacked: {dts}"
+        return real_stack(grp)
+
+    el._stack_batches = checked_stack
+    try:
+        meter_b = build_val_meter(cfg, len(batches))
+        _, top1_b = eval_epoch(
+            copies(), state, None, meter_b, 0, cfg,
+            metrics_step=make_eval_metrics_step(cfg, model),
+            multi_metrics_step=make_eval_multi_step(cfg, model),
+        )
+    finally:
+        el._stack_batches = real_stack
+
+    for k in top1_a:
+        np.testing.assert_allclose(
+            float(top1_a[k]), float(top1_b[k]), rtol=1e-5, atol=1e-4, err_msg=k
+        )
+
+
+
 if __name__ == "__main__":
     import sys
 
