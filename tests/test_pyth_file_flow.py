@@ -93,7 +93,7 @@ def _get(tree, dotted):
     return np.asarray(node)
 
 
-def test_pyth_train_warm_start(pyth_setup, caplog):
+def test_pyth_train_warm_start(pyth_setup):
     cfg, sd, path, state = pyth_setup
     cfg = cfg.clone()
     cfg.TRAIN.CHECKPOINT_FILE_PATH = path
@@ -105,8 +105,25 @@ def test_pyth_train_warm_start(pyth_setup, caplog):
 
     import logging
 
-    with caplog.at_level(logging.WARNING):
+    # Capture on the "asf_tpu" logger directly: setup_logging (run by any
+    # earlier CLI/e2e test in the session) sets propagate=False, which makes
+    # pytest's root-logger caplog miss these records (order-dependent flake).
+    class _Capture(logging.Handler):
+        records: list = []
+
+        def emit(self, record):
+            self.records.append(record)
+
+    cap = _Capture()
+    asf_logger = logging.getLogger("asf_tpu")
+    asf_logger.addHandler(cap)
+    old_level = asf_logger.level
+    asf_logger.setLevel(logging.WARNING)
+    try:
         new_state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    finally:
+        asf_logger.removeHandler(cap)
+        asf_logger.setLevel(old_level)
 
     assert start_epoch == 8  # epoch 7 in the file -> resume at 8
 
@@ -130,8 +147,8 @@ def test_pyth_train_warm_start(pyth_setup, caplog):
     # ...and the mismatch is reported
     assert any(
         "pyth load mismatch" in r.message and "projection_verb" in str(r.args)
-        for r in caplog.records
-    ), [r.getMessage() for r in caplog.records][:5]
+        for r in cap.records
+    ), [r.getMessage() for r in cap.records][:5]
 
 
 def test_pyth_epoch_reset(pyth_setup):
