@@ -238,6 +238,26 @@ def bench_torch_cpu_baseline(cfg, max_seconds=90.0):
 
 
 def main():
+    # Watchdog: if the TPU relay is down, device enumeration/compiles hang
+    # indefinitely — fail loudly instead so the caller records an error
+    # rather than waiting forever. 45 min covers the worst cold-compile path
+    # (~25 min) with margin.
+    import os
+    import threading
+
+    def _deadline():
+        print(
+            "bench.py watchdog: no result within 45 min (TPU relay down or "
+            "compile wedged) — aborting.",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(17)
+
+    watchdog = threading.Timer(45 * 60, _deadline)
+    watchdog.daemon = True
+    watchdog.start()
+
     cfg = _flagship_cfg()
     tpu_clips = bench_tpu(cfg)
     try:
@@ -256,6 +276,7 @@ def main():
             }
         )
     )
+    watchdog.cancel()
 
 
 if __name__ == "__main__":
