@@ -125,6 +125,17 @@ class EpicKitchens:
             self._h5_local.f = h5py.File(self.cfg.EPICKITCHENS.AUDIO_DATA_FILE, "r")
         return self._h5_local.f
 
+    def _video_len(self, video_id: str) -> int:
+        """Sample count of a video (cached: shape reads are metadata-only but
+        per-window lookups add up on the 1-core host)."""
+        cache = getattr(self, "_vlen_cache", None)
+        if cache is None:
+            cache = self._vlen_cache = {}
+        n = cache.get(video_id)
+        if n is None:
+            n = cache[video_id] = int(self._h5()[video_id].shape[0])
+        return n
+
     def _probe_int16(self):
         """Decide the int16-transfer path DATASET-WIDE, not per item (a mixed
         int16/float32 batch stream would flap the jitted step's input dtype —
@@ -275,10 +286,13 @@ class EpicKitchens:
         # reference advances windows by 1 s per index, NOT by clip - overlap).
         seg_start = record.start_audio_sample
         if record.num_audio_samples < self.clip_size:
-            region_end = record.end_audio_sample
+            # max(seg_start, .): degenerate annotations (stop <= start) exist
+            # in real data — same guard as _clip_for_record's regular path.
+            region_end = max(seg_start, record.end_audio_sample)
         else:
             region_end = seg_start + (n_windows - 1) * sr + self.clip_size
         region = self._read_region(record.untrimmed_video_name, seg_start, region_end)
+        vid_len = self._video_len(record.untrimmed_video_name)
 
         waves = np.zeros(
             (n_windows, self.clip_samples), np.int16 if self.int16 else np.float32
@@ -287,13 +301,23 @@ class EpicKitchens:
         for i in range(n_windows):
             if record.num_audio_samples < self.clip_size:
                 # whole (short) segment for every window (case 1)
-                chunk = region[: record.num_audio_samples]
+                chunk = region[: max(0, record.num_audio_samples)]
+                start_i = seg_start
             else:
                 off = i * sr
                 chunk = region[off : off + self.clip_samples]
+                start_i = seg_start + off
             chunk = self._apply_transform(record, chunk, rng)[: self.clip_samples]
             waves[i, : len(chunk)] = chunk
-            n_valid[i] = len(chunk)
+            # Valid samples = the part actually inside the video. The
+            # reference's numpy slice samples[start:end] TRUNCATES at the
+            # video end (audio_loader_epic.py _extract_sound_feature) and
+            # edge-pads the short spectrogram; counting _read_region's
+            # zero-pad as valid would instead spectrogram literal zeros.
+            # min 1 keeps the on-device edge-gather well-defined (same
+            # convention as collate's padded windows).
+            in_video = max(0, min(start_i + len(chunk), vid_len) - start_i)
+            n_valid[i] = max(1, min(len(chunk), in_video))
 
         item = {
             "waveform": waves,

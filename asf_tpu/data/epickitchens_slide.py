@@ -104,6 +104,10 @@ class EpicKitchensSlide(EpicKitchens):
             assert len(self._audio_records) > 0
 
             nb_annotations = 0
+            # group once: filtering the full DataFrame per window is
+            # O(windows x annotations) — ~1e9 row scans for a 1 s-hop slide
+            # over EPIC before testing even starts.
+            by_video = dict(tuple(file_df.groupby("video_id")))
             for i in range(len(self._audio_records)):
                 rec = self._audio_records[i]
                 video_id = rec._series["video_id"]
@@ -111,8 +115,8 @@ class EpicKitchensSlide(EpicKitchens):
                     timestamp_to_sec(rec._series["start_timestamp"])
                     + timestamp_to_sec(rec._series["stop_timestamp"])
                 ) / 2
-                video_df = file_df[file_df["video_id"] == video_id]
-                assert video_df.shape[0] > 0, f"No annotations for {video_id}"
+                video_df = by_video.get(video_id)
+                assert video_df is not None, f"No annotations for {video_id}"
                 video_df = video_df[
                     (video_df["start_s"] <= mid_s) & (mid_s <= video_df["stop_s"])
                 ]

@@ -384,14 +384,7 @@ class DevicePrefetcher:
 
     @staticmethod
     def _shape_sig(batch):
-        return tuple(
-            (path, x.shape, str(x.dtype))
-            for path, x in sorted(
-                (str(p), l)
-                for p, l in _tree_leaves_with_paths(batch)
-                if isinstance(l, np.ndarray)
-            )
-        )
+        return batch_signature(batch)
 
     def _lr_dev(self, k: int):
         """Upload the next k iterations' LRs here, on the prefetch thread."""
@@ -475,3 +468,24 @@ def _tree_leaves_with_paths(batch, prefix=""):
             yield from _tree_leaves_with_paths(v, prefix + k + ".")
         else:
             yield prefix + k, v
+
+
+def batch_signature(batch) -> tuple:
+    """Sorted (path, shape, dtype) over every array leaf of a batch dict.
+
+    THE macro-group compatibility key: batches may be np.stack-ed into one
+    scanned dispatch only when signatures match exactly. Shape mismatches
+    crash np.stack; dtype mismatches are worse — an int16-PCM batch stacked
+    with a same-shape float32 one silently promotes raw PCM to float at
+    ~32768x amplitude (the deferred /32768 never fires). Shared by
+    DevicePrefetcher, eval_loop._eval_fused and test_loop.perform_test.
+    """
+    return tuple(
+        (path, x.shape, str(x.dtype))
+        for path, x in sorted(
+            (str(p), l)
+            for p, l in _tree_leaves_with_paths(batch)
+            if isinstance(l, np.ndarray)
+        )
+    )
+

@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from asf_tpu.data.loader import batch_signature
 from asf_tpu.parallel.mesh import pad_batch_to, put_with, shard_batch
 from . import metrics
 from .meters import EPICValMeter, ValMeter
@@ -221,13 +222,7 @@ def _eval_fused(
         # ~32768x amplitude, silently. On a signature change, dispatch the
         # partial group as singles (same guard as perform_test /
         # DevicePrefetcher._shape_sig).
-        bsig = tuple(
-            sorted(
-                (k, v.shape, str(v.dtype))
-                for k, v in batch.items()
-                if hasattr(v, "shape")
-            )
-        )
+        bsig = batch_signature(batch)
         if grp and bsig != sig:
             for b, nr in zip(grp, grp_nreal):
                 dispatch([b], [nr])
@@ -272,6 +267,11 @@ def _eval_legacy(
     for cur_iter, batch in enumerate(val_loader):
         batch, n_real = pad_batch_to(batch, batch_size)
         batch.pop("metadata", None)
+        # Keep the numpy batch: labels/state analyses read it host-side.
+        # np.asarray on the SHARDED batch would fail for multi-host meshes
+        # (non-addressable global arrays) and forces a device->host copy per
+        # iteration otherwise.
+        host_batch = batch
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         val_meter.data_toc()
@@ -281,24 +281,24 @@ def _eval_legacy(
         if multitask:
             x_v = jnp.asarray(preds[0])[:n_real]
             x_n = jnp.asarray(preds[1])[:n_real]
-            verb = batch["labels"]["verb"][:n_real]
-            noun = batch["labels"]["noun"][:n_real]
+            verb = host_batch["labels"]["verb"][:n_real]
+            noun = host_batch["labels"]["noun"][:n_real]
             v1, v5 = metrics.topk_accuracies(x_v, verb, (1, 5))
             n1, n5 = metrics.topk_accuracies(x_n, noun, (1, 5))
             a1, a5 = metrics.multitask_topk_accuracies((x_v, x_n), (verb, noun), (1, 5))
             pending.append((cur_iter, (v1, v5, n1, n5, a1, a5), n_real))
             if with_state:
                 val_meter.update_state_metrics(
-                    state_metrics_of(preds[2], jax.tree.map(np.asarray, batch), n_real)
+                    state_metrics_of(preds[2], host_batch, n_real)
                 )
         else:
             scores = jnp.asarray(preds)[:n_real]
-            labels = batch["labels"]["class_id"][:n_real]
+            labels = host_batch["labels"]["class_id"][:n_real]
             k1, k5 = metrics.topk_accuracies(scores, labels, (1, 5))
             pending.append((cur_iter, (k1, k5), n_real))
 
         if collect_plots:
-            collect_plot_rows(preds, jax.tree.map(np.asarray, batch), n_real)
+            collect_plot_rows(preds, host_batch, n_real)
 
         if (cur_iter + 1) % log_period == 0:
             flush()

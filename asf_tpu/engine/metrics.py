@@ -176,6 +176,9 @@ def state_metrics(preds, labels, lengths, split="Val"):
         preds_cls = probs.argmax(axis=3)  # (B, N, P)
         labels_cls = labels.argmax(axis=3)
     else:
+        # Quirk-faithful: the reference averages LOGITS over the class axis
+        # here instead of argmax-ing (utils/metrics.py:223 preds.mean(dim=2))
+        # — nonsensical but kept for parity; the engine always passes 4-D.
         preds_cls = preds.mean(axis=2)
         labels_cls = labels.argmax(axis=2)
 

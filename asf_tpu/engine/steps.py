@@ -59,6 +59,24 @@ def is_multitask(cfg) -> bool:
     return len(cfg.MODEL.NUM_CLASSES) > 1
 
 
+def lazy_optimizer(cfg):
+    """Deferred construct_optimizer holder: init_state needs a tx, but the
+    optimizer masks need the params template first — the holder builds the
+    real optax tx on the first .init(params) call and keeps it on .tx.
+    Shared by train(cfg) and test(cfg) (and the bench/warm-cache scripts)."""
+    from .optimizer import construct_optimizer
+
+    class _Lazy:
+        tx = None
+
+        def init(self, params):
+            if self.tx is None:
+                self.tx = construct_optimizer(cfg, params)
+            return self.tx.init(params)
+
+    return _Lazy()
+
+
 def make_input_pipeline(cfg):
     """waveforms -> list of pathway tensors, entirely on device.
 

@@ -18,15 +18,15 @@ import jax
 import numpy as np
 
 from asf_tpu.checkpoint import manager as cu
-from asf_tpu.data.loader import construct_loader
+from asf_tpu.data.loader import batch_signature, construct_loader
 from asf_tpu.models import build_model
 from asf_tpu.parallel.mesh import make_mesh, pad_batch_to, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils.logging import get_logger, setup_logging
 from . import metrics
 from .meters import EPICTestMeter, EPICTestMeterSlide, TestMeter
-from .optimizer import construct_optimizer
 from .steps import (
     TrainState,
+    lazy_optimizer,
     init_state,
     is_multitask,
     make_eval_multi_step,
@@ -113,13 +113,7 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
         test_meter.data_toc()
         # shape AND dtype: a float32-rescued batch amid int16 ones must not
         # be stacked into one macro (see eval_loop's guard for the failure).
-        bsig = tuple(
-            sorted(
-                (k, v.shape, str(v.dtype))
-                for k, v in batch.items()
-                if hasattr(v, "shape")
-            )
-        )
+        bsig = batch_signature(batch)
         if grp and bsig != sig:
             for item in grp:
                 dispatch([item])
@@ -137,6 +131,14 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
 
 
 def _save_scores(cfg, results, multitask):
+    import jax
+
+    if jax.process_index() != 0:
+        # Multi-host: every process holds identical results (each scores the
+        # full test set), but concurrent pickle.dump to the shared
+        # OUTPUT_DIR would interleave/truncate the file — only rank 0 writes
+        # (reference: du.is_master_proc gating, tools/test_net.py).
+        return
     scores_dir = os.path.join(cfg.OUTPUT_DIR, "scores")
     os.makedirs(scores_dir, exist_ok=True)
     name = cfg.TEST.SAVE_RESULTS_PATH or "test_scores.pkl"
@@ -177,15 +179,7 @@ def test(cfg):
     example.pop("metadata", None)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
-    class _Lazy:
-        tx = None
-
-        def init(self, params):
-            if self.tx is None:
-                self.tx = construct_optimizer(cfg, params)
-            return self.tx.init(params)
-
-    state = init_state(cfg, model, _Lazy(), rng, example)
+    state = init_state(cfg, model, lazy_optimizer(cfg), rng, example)
     state = TrainState(
         params=param_shardings(state.params, mesh),
         batch_stats=replicate_tree(state.batch_stats, mesh),
@@ -236,7 +230,7 @@ def test(cfg):
     )
     _save_scores(cfg, results, multitask)
 
-    if not multitask and cfg.DATA.MULTI_LABEL is False and cfg.TEST.DATASET.lower() == "vggsound":
+    if not multitask and not cfg.DATA.MULTI_LABEL and cfg.TEST.DATASET.lower() == "vggsound":
         preds, labels = results
         logger.info("VGG-Sound stats: %s", metrics.vggsound_stats(preds, labels))
 

@@ -28,8 +28,8 @@ from asf_tpu.utils import lr_policy
 from asf_tpu.utils.logging import get_logger, setup_logging
 from .eval_loop import build_val_meter, eval_epoch
 from .meters import EPICTrainMeter, TrainMeter
-from .optimizer import construct_optimizer
 from .steps import (
+    lazy_optimizer,
     TrainState,
     has_state_head,
     init_state,
@@ -142,8 +142,9 @@ def train_epoch(
 
     cur_iter = 0
     train_meter.iter_tic()
+    src = iter_prefetched(train_loader, cfg, mesh, group=group, lr_fn=lr_at)
     try:
-        for item in iter_prefetched(train_loader, cfg, mesh, group=group, lr_fn=lr_at):
+        for item in src:
             if isinstance(item, tuple):
                 kind, batch, lr_dev = item  # prefetched: lr already on device
             else:
@@ -190,7 +191,11 @@ def train_epoch(
     finally:
         # On an exception mid-epoch (NaN loss raised in apply_host, OOM,
         # shape error) still reap the metrics thread and any in-flight
-        # device_get, and close an open trace window.
+        # device_get, stop the prefetcher (else its worker retries q.put
+        # forever, pinning uploaded macros in HBM), and close an open trace
+        # window.
+        if hasattr(src, "stop"):
+            src.stop()
         fetch_pool.shutdown(wait=False)
         if tracing:
             jax.profiler.stop_trace()
@@ -295,21 +300,7 @@ def train(cfg):
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
     # params template first (for optimizer masks), then the full state
-    tx = None
-
-    def _tx_factory(params):
-        return construct_optimizer(cfg, params)
-
-    # init_state needs tx; build in two phases via a lazy holder
-    class _Lazy:
-        tx = None
-
-        def init(self, params):
-            if self.tx is None:
-                self.tx = _tx_factory(params)
-            return self.tx.init(params)
-
-    lazy = _Lazy()
+    lazy = lazy_optimizer(cfg)
     state = init_state(cfg, model, lazy, rng, example)
     tx = lazy.tx
 

@@ -516,3 +516,69 @@ def test_gru_int16_pipeline_parity():
     )
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def _epic_edge_annotations(root, sr=24000, video_secs=12.0):
+    """Overwrite the fixture annotations with end-of-video + degenerate rows."""
+    import pandas as pd
+
+    from fixtures import _ts
+
+    rows = [
+        # long segment whose 1 s-hop GRU windows run PAST the video end:
+        # starts 1.5 s before the end but spans 4 s
+        {
+            "participant_id": "P01",
+            "video_id": "P01_00",
+            "start_timestamp": _ts(video_secs - 1.5),
+            "stop_timestamp": _ts(video_secs + 2.5),
+            "verb_class": 1,
+            "noun_class": 2,
+            "noun_embedding": np.zeros((1, 512), np.float32),
+        },
+        # degenerate annotation: stop <= start (exists in real EPIC data)
+        {
+            "participant_id": "P01",
+            "video_id": "P01_00",
+            "start_timestamp": _ts(3.0),
+            "stop_timestamp": _ts(2.0),
+            "verb_class": 0,
+            "noun_class": 0,
+            "noun_embedding": np.zeros((1, 512), np.float32),
+        },
+    ]
+    pd.DataFrame(rows, index=["nar_a", "nar_b"]).to_pickle(
+        os.path.join(root, "annotations.pkl")
+    )
+
+
+def test_gru_windows_past_video_end_and_degenerate(tmp_path):
+    """Windows that run past the HDF5 video end must count only in-video
+    samples as valid (the reference's numpy slice TRUNCATES there and
+    edge-pads the spectrogram — zero-padding counted as valid would
+    spectrogram literal zeros); degenerate stop<=start annotations must not
+    crash the GRU path (the regular path already guards them)."""
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    _epic_edge_annotations(root)
+    cfg = epic_cfg(root, gru=True)
+    ds = build_dataset("EpicKitchensGRU", cfg, "train")
+
+    sr = cfg.AUDIO_DATA.SAMPLING_RATE
+    video_len = int(sr * 12.0)
+    rec = ds._audio_records[0]
+    item = ds[0]
+    n = int(item["length"])
+    assert n >= 2
+    for i in range(n):
+        start_i = rec.start_audio_sample + i * sr
+        expect = max(1, min(ds.clip_samples, video_len - start_i))
+        assert int(item["n_valid"][i]) == expect, (i, item["n_valid"][i], expect)
+        # the zero-pad past the video end is NOT flagged valid
+        assert np.all(item["waveform"][i, item["n_valid"][i]:] == 0)
+
+    # degenerate record: no crash, well-defined minimal validity
+    item2 = ds[1]
+    assert int(item2["length"]) >= 1
+    assert np.all(np.asarray(item2["n_valid"]) >= 1)
+    assert np.all(item2["waveform"] == 0)
