@@ -166,7 +166,9 @@ def load_train_checkpoint(cfg, state):
         logger.info("Load initial weights from %s", path)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         step = 0
-        if path.endswith(".pyth") or path.endswith(".pth") or path.endswith(".pt"):
+        opt_state = None
+        is_pyth = path.endswith((".pyth", ".pth", ".pt"))
+        if is_pyth:
             v, epoch = load_from_pyth(
                 path, variables, tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN)
             )
@@ -180,11 +182,27 @@ def load_train_checkpoint(cfg, state):
             }
             epoch = int(payload["epoch"])
             step = int(payload.get("step", 0))
+            # The reference passes the optimizer into load_checkpoint here
+            # (utils/checkpoint.py:313-336): a CHECKPOINT_FILE_PATH resume
+            # restores momentum/EMA, not just weights. Skip only under
+            # EPOCH_RESET (a deliberate fresh start).
+            if not cfg.TRAIN.CHECKPOINT_EPOCH_RESET and "optimizer_state" in payload:
+                try:
+                    opt_state = _tree_restore_types(
+                        state.opt_state, payload["optimizer_state"]
+                    )
+                except Exception as e:
+                    logger.warning(
+                        "optimizer_state in %s does not match the current "
+                        "optimizer (%s); continuing with fresh moments", path, e
+                    )
         if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
             start_epoch, step = 0, 0
         else:
             start_epoch = epoch + 1
         s, _ = with_vars(v, 0)
+        if opt_state is not None:
+            s = s.replace(opt_state=opt_state)
         return s.replace(step=np.int32(step)), start_epoch
 
     return state, 0

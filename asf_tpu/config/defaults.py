@@ -156,8 +156,10 @@ _C.SOLVER.BASE_LR_SCALE_NUM_SHARDS = False
 # ---------------------------------------------------------------------------
 # Misc options
 # ---------------------------------------------------------------------------
-# NUM_GPUS is kept for YAML compatibility; on TPU it means "number of local
-# devices to use" (0 -> all available devices).
+# NUM_GPUS is kept for YAML compatibility; on TPU: values > 1 cap the local
+# device count, 0 or 1 mean "all available" (the reference's per-GPU process
+# model has no 1-device analogue under a single controller). TPU.DATA_PARALLEL,
+# when set, takes precedence.
 _C.NUM_GPUS = 1
 _C.NUM_SHARDS = 1
 _C.SHARD_ID = 0

@@ -155,7 +155,7 @@ def log_mel_spectrogram(
       (B, T_out, n_mels) float32.
     """
     wave = wave.astype(jnp.float32)
-    n_frames = 1 + wave.shape[1] // params.hop
+    n_frames = num_frames_for(wave.shape[1], params.hop)
     if params.pallas is not None:
         log_mel = params.pallas(wave, n_frames, eps=eps)  # (B, T, n_mels)
     else:

@@ -17,9 +17,30 @@ import jax.numpy as jnp
 
 
 def slow_indices(num_frames: int, alpha: int) -> np.ndarray:
-    """floor(linspace(0, T-1, T//alpha)) — torch .long() truncation parity."""
+    """``torch.linspace(0, T-1, T//alpha).long()`` — BIT-exact emulation.
+
+    float64 np.linspace truncates differently from torch at 611 of the
+    (T<=2048, alpha in {2,4,5,8}) geometries — including T=400 at the
+    defaults.py ALPHA=8 — so the slow pathway would gather different frames
+    than the reference. torch's CPU linspace (ATen RangeFactories) fills
+    SYMMETRICALLY: the first half as ``start + i*step``, the second as
+    ``end - (steps-1-i)*step``, with a float32 step and FMA contraction
+    (i.e. the i*step product is not rounded to float32 before the add).
+    Emulated here with a float32 step and double-precision products (exact
+    for these magnitudes, matching FMA's single rounding); verified equal to
+    torch over T in [2, 4096], alpha in [2, 16] (tests/test_dsp.py)."""
     n = num_frames // alpha
-    return np.linspace(0, num_frames - 1, n).astype(np.int64)
+    if n <= 1:
+        return np.zeros(max(n, 0), np.int64)
+    step = np.float64(np.float32(np.float32(num_frames - 1) / np.float32(n - 1)))
+    i = np.arange(n, dtype=np.float64)
+    half = n // 2
+    vals = np.empty(n, np.float32)
+    vals[:half] = (i[:half] * step).astype(np.float32)
+    vals[half:] = (
+        np.float64(num_frames - 1) - (n - 1 - i[half:]) * step
+    ).astype(np.float32)
+    return vals.astype(np.int64)
 
 
 def pack_pathways(cfg, spectrogram: jnp.ndarray):

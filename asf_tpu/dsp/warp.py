@@ -110,7 +110,6 @@ def sparse_image_warp(
     interpolated at *dst* locations).
     """
     h, w = image.shape
-    flows = src_points - dst_points  # value to SUBTRACT from grid: grid - flow = src
     grid_y, grid_x = jnp.meshgrid(
         jnp.arange(h, dtype=image.dtype), jnp.arange(w, dtype=image.dtype), indexing="ij"
     )

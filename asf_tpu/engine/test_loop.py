@@ -20,7 +20,7 @@ import numpy as np
 from asf_tpu.checkpoint import manager as cu
 from asf_tpu.data.loader import batch_signature, construct_loader
 from asf_tpu.models import build_model
-from asf_tpu.parallel.mesh import make_mesh, pad_batch_to, param_shardings, replicate_tree, shard_batch
+from asf_tpu.parallel.mesh import check_batch_divisibility, make_mesh, pad_batch_to, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils.logging import get_logger, setup_logging
 from . import metrics
 from .meters import EPICTestMeter, EPICTestMeterSlide, TestMeter
@@ -170,6 +170,7 @@ def test(cfg):
     # whose pickled-gloo metadata gathers have no place under jit.
     multihost = jax.process_count() > 1
     mesh = make_mesh(cfg, local=multihost)
+    check_batch_divisibility(cfg, mesh, int(cfg.TEST.BATCH_SIZE), "TEST")
     model = build_model(cfg)
     test_loader = construct_loader(cfg, "test")
     if multihost:

@@ -23,7 +23,7 @@ from asf_tpu.checkpoint import manager as cu
 from asf_tpu.data.loader import construct_loader, iter_prefetched, shuffle_dataset
 from asf_tpu.models import build_model
 from asf_tpu.models.norm import check_sync_bn_mesh
-from asf_tpu.parallel.mesh import make_mesh, param_shardings, replicate_tree, shard_batch
+from asf_tpu.parallel.mesh import check_batch_divisibility, make_mesh, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils import lr_policy
 from asf_tpu.utils.logging import get_logger, setup_logging
 from .eval_loop import build_val_meter, eval_epoch
@@ -285,6 +285,7 @@ def train(cfg):
 
     model = build_model(cfg)
     check_sync_bn_mesh(cfg, mesh)
+    check_batch_divisibility(cfg, mesh, int(cfg.TRAIN.BATCH_SIZE), "TRAIN")
 
     train_loader = construct_loader(
         cfg,

@@ -28,10 +28,6 @@ from flax import linen as nn
 from .heads import dense, _act
 
 
-def _uniform_init(hidden_size: int):
-    bound = 1.0 / jnp.sqrt(hidden_size)
-    return nn.initializers.uniform(scale=2 * bound)  # [0, 2b) shifted below
-
 
 def _gru_param(module, name, shape, hidden_size):
     # torch initialises GRU weights from U(-1/sqrt(H), 1/sqrt(H)).
@@ -152,7 +148,9 @@ class GRUResNetBasicHead(nn.Module):
         pool_out = []
         for p, x in enumerate(inputs):
             window = tuple(self.pool_size[p])
-            # stride = window: torch AvgPool2d default (see heads.py note)
+            # stride=window: deliberate delta from gru_head_helper.py:54's
+            # stride=1 — identical at T == NUM_FRAMES (single 1x1 position),
+            # well-defined for longer inputs (see heads.py note)
             pool_out.append(nn.avg_pool(x, window, strides=window, padding="VALID"))
         x = jnp.concatenate(pool_out, axis=-1)  # (B*N, 1, 1, F)
 

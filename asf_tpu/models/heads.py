@@ -2,7 +2,9 @@
 
 Parity targets:
   * ResNetBasicHead (/root/reference/audio_slowfast/models/head_helper.py:10-109):
-    per-pathway AvgPool(stride 1) -> concat channels -> dropout -> Linear;
+    per-pathway AvgPool (stride=window; see the in-code note on the
+    deliberate delta from the reference's stride=1) -> concat channels ->
+    dropout -> Linear;
     dual verb/noun heads when NUM_CLASSES is a list; **train returns raw
     logits, eval applies softmax then means over the (T, F) positions**
     (fully-convolutional inference, head_helper.py:87-97).
@@ -65,9 +67,15 @@ class ResNetBasicHead(nn.Module):
         pool_out = []
         for p, x in enumerate(inputs):
             window = tuple(self.pool_size[p])
-            # stride = window (torch AvgPool2d default): keeps the pathway
-            # grids aligned for fully-convolutional inference on inputs
-            # longer than NUM_FRAMES (head_helper.py:60-71).
+            # DELIBERATE delta: the reference constructs
+            # AvgPool2d(pool_size, stride=1) (head_helper.py:49), which only
+            # defines behaviour at T == NUM_FRAMES (both pathways pool to a
+            # single 1x1 position — identical to this stride=window pool).
+            # For LONGER inputs the reference head crashes: with stride 1
+            # the slow/fast position counts differ (T/4a - w_s + 1 vs
+            # T/4 - w_f + 1) and the channel concat raises. stride=window
+            # keeps the pathway grids aligned, making fully-convolutional
+            # inference (tools/predict.py) actually work.
             pool_out.append(
                 nn.avg_pool(x, window, strides=window, padding="VALID")
             )

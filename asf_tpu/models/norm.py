@@ -21,9 +21,10 @@ Replaces the reference's three BN flavours
     means (parity with SubBatchNorm2d, batchnorm_helper.py:34-103).
 
 Torch-parity details baked in: momentum 0.1 with torch's update direction
-(new = (1-m)*old + m*batch), unbiased variance for the running update but
-biased variance for normalisation, fp32 statistics regardless of compute
-dtype.
+(new = (1-m)*old + m*batch); biased variance for normalisation everywhere;
+running_var gets torch's UNBIASED update for plain/sub BN but the BIASED one
+for sync (NaiveSyncBatchNorm2d stores E[x^2]-E[x]^2 directly); fp32
+statistics regardless of compute dtype.
 """
 
 from __future__ import annotations
@@ -45,6 +46,11 @@ class TorchBatchNorm(nn.Module):
     dtype: Any = jnp.float32
     num_splits: int = 1
     scale_init: Any = nn.initializers.ones
+    # torch BatchNorm2d (and SubBN's inner BNs) store the UNBIASED variance
+    # in running_var; the reference's NaiveSyncBatchNorm2d stores the BIASED
+    # var = E[x^2] - E[x]^2 directly (batchnorm_helper.py:187-189) — no
+    # Bessel correction. make_norm sets this per NORM_TYPE.
+    unbiased_running: bool = True
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
@@ -97,10 +103,10 @@ class TorchBatchNorm(nn.Module):
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-            # torch stores the UNBIASED variance in running_var.
-            n = float(n_per_channel)
-            unbias = n / max(n - 1.0, 1.0)
-            ra_var.value = (1.0 - m) * ra_var.value + m * var * unbias
+            if self.unbiased_running:  # torch BatchNorm2d semantics
+                n = float(n_per_channel)
+                var = var * (n / max(n - 1.0, 1.0))
+            ra_var.value = (1.0 - m) * ra_var.value + m * var
 
         return y.astype(self.dtype)
 
@@ -174,6 +180,7 @@ def make_norm(cfg, dtype=jnp.float32):
             dtype=dtype,
             num_splits=num_splits,
             scale_init=scale_init,
+            unbiased_running=norm_type != "sync_batchnorm",
             name=name,
         )
 

@@ -22,8 +22,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(cfg=None, num_devices: Optional[int] = None, local: bool = False) -> Mesh:
     """Data-parallel mesh, optionally 2-D (data, model) for tensor
-    parallelism. NUM_GPUS (reference flag) caps local devices; 0 or
-    >available means 'use all'. ``local=True`` builds a host-local mesh
+    parallelism. Device count precedence: explicit ``num_devices`` >
+    TPU.DATA_PARALLEL > NUM_GPUS (reference flag; only values > 1 cap — 0/1
+    mean 'all available') > all devices. ``local=True`` builds a host-local mesh
     (this process's devices only) — used by the test loop under multi-host,
     where every host scores the full test set independently instead of
     gathering predictions (reference all_gather, tools/test_net.py:196-203)."""
@@ -43,6 +44,21 @@ def make_mesh(cfg=None, num_devices: Optional[int] = None, local: bool = False) 
         grid = np.asarray(devices[:n]).reshape(n // mp, mp)
         return Mesh(grid, ("data", "model"))
     return Mesh(np.asarray(devices[:n]), ("data",))
+
+
+def check_batch_divisibility(cfg, mesh: Mesh, batch_size: int, which: str):
+    """Fail fast with an actionable message: shard_batch would otherwise die
+    mid-loop (after minutes of compiles) with a bare XLA shape error when the
+    batch axis does not divide the mesh's data axis (e.g. NUM_GPUS=1 configs
+    on a multi-device host, where 1 means 'all available')."""
+    dp = int(mesh.shape.get("data", mesh.devices.size))
+    if batch_size % dp != 0:
+        raise ValueError(
+            f"{which}.BATCH_SIZE={batch_size} is not divisible by the mesh's "
+            f"data-parallel size {dp} (mesh shape {dict(mesh.shape)}). Set "
+            f"TPU.DATA_PARALLEL (or NUM_GPUS>1) to a divisor, or adjust the "
+            f"batch size."
+        )
 
 
 def data_parallel_size(cfg=None) -> int:

@@ -143,3 +143,25 @@ def test_pack_pathways_shapes():
     cfg.MODEL.ARCH = "slow"
     (only,) = pack_pathways(cfg, spec)
     assert only.shape == (2, 400, 128, 1)
+
+
+def test_slow_indices_bit_match_torch_linspace():
+    """slow_indices must equal torch.linspace(0, T-1, T//alpha).long() for
+    EVERY geometry (the float64 np.linspace it replaced diverged at 611 of
+    these, including T=400 at the defaults.py ALPHA=8)."""
+    import torch
+
+    from asf_tpu.dsp.pathways import slow_indices
+
+    for t in range(2, 1200, 7):
+        for alpha in (2, 3, 4, 5, 8, 16):
+            n = t // alpha
+            if n < 1:
+                continue
+            want = torch.linspace(0, t - 1, n).long().numpy()
+            got = np.asarray(slow_indices(t, alpha))
+            np.testing.assert_array_equal(got, want, err_msg=f"T={t} alpha={alpha}")
+    # the production geometries explicitly
+    for t, alpha in ((400, 4), (400, 8), (64, 4)):
+        want = torch.linspace(0, t - 1, t // alpha).long().numpy()
+        np.testing.assert_array_equal(slow_indices(t, alpha), want)

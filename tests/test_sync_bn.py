@@ -119,16 +119,18 @@ def test_sync_bn_group_stats_match_oracle(cfg):
     np.testing.assert_allclose(ya[:4].var(), 1.0, atol=1e-3)
 
     # running stats: aggregate of the group stats (mean of means + between-
-    # group variance, unbiased update at momentum 0.1)
+    # group variance) with the reference's BIASED update — NaiveSyncBatchNorm2d
+    # stores var = E[x^2] - E[x]^2 directly, no Bessel correction
+    # (batchnorm_helper.py:187-189); only plain/sub BN use torch's unbiased
+    # running_var.
     agg_mean = means.mean(axis=0)
     agg_var = varis.mean(axis=0) + ((means - agg_mean) ** 2).mean(axis=0)
-    n = 4 * 4 * 4  # samples per channel per group
     np.testing.assert_allclose(
         np.asarray(mut["batch_stats"]["mean"]), 0.1 * agg_mean, atol=1e-5
     )
     np.testing.assert_allclose(
         np.asarray(mut["batch_stats"]["var"]),
-        0.9 * 1.0 + 0.1 * agg_var * n / (n - 1),
+        0.9 * 1.0 + 0.1 * agg_var,
         rtol=1e-5,
     )
 
