@@ -117,7 +117,9 @@ def main(argv=None):
     from asf_tpu.utils.parser import load_config
 
     args = parse_args(argv)
-    cfg = load_config(args) if args.cfg_file else get_cfg()
+    # load_config handles cfg_file=None and still applies KEY VALUE opts —
+    # the reference's predict always merges opts too (predict.py parse_args).
+    cfg = load_config(args)
     setup_logging(cfg.OUTPUT_DIR)
 
     if cfg.MODEL.MODEL_NAME == "AudioSlowFastGRU":

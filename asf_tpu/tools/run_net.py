@@ -28,12 +28,16 @@ def launch_job(cfg, init_method=None, func=None):
     if cfg.NUM_SHARDS > 1:
         import jax
 
-        coordinator = (init_method or "tcp://localhost:9999").replace("tcp://", "")
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=cfg.NUM_SHARDS,
-            process_id=cfg.SHARD_ID,
-        )
+        # idempotent: main() calls launch_job once for train and once for
+        # test in the SAME process (the reference spawns fresh processes per
+        # job, torch.multiprocessing); a second initialize would raise.
+        if not jax.distributed.is_initialized():
+            coordinator = (init_method or "tcp://localhost:9999").replace("tcp://", "")
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=cfg.NUM_SHARDS,
+                process_id=cfg.SHARD_ID,
+            )
     return func(cfg)
 
 

@@ -60,12 +60,31 @@ def main(argv=None):
     chunk = int(args.sampling_rate * args.chunk_seconds)
     with h5py.File(args.output_file, "w") as out:
         with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-            futures = [
-                pool.submit(load_audio, args.audio_dir, f, args.sampling_rate, args.int16)
-                for f in wavs
-            ]
-            for fut in futures:
-                samples, video_name = fut.result()
+            # Bounded in-flight window: decoding runs ahead of the single
+            # sequential HDF5 writer, so submitting every file up front
+            # accumulates whole decoded waveforms in completed futures —
+            # unbounded host memory on large datasets. Keep ~2x jobs queued.
+            from collections import deque
+
+            window = max(2, 2 * args.jobs)
+            queue_, it = deque(), iter(wavs)
+
+            def refill():
+                while len(queue_) < window:
+                    f = next(it, None)
+                    if f is None:
+                        return
+                    queue_.append(
+                        pool.submit(
+                            load_audio, args.audio_dir, f,
+                            args.sampling_rate, args.int16,
+                        )
+                    )
+
+            refill()
+            while queue_:
+                samples, video_name = queue_.popleft().result()
+                refill()
                 print(video_name)
                 out.create_dataset(
                     video_name,

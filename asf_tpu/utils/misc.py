@@ -104,7 +104,8 @@ def get_class_names(path: str, parent_path: str = "", subset_path: str = ""):
     subset_ids = None
     if subset_path:
         with open(subset_path) as f:
-            subset = f.read().split(",")
+            # one class per LINE (reference utils/misc.py:314 splits on \n)
+            subset = f.read().split("\n")
             subset_ids = [
                 class2idx[name] for name in subset if class2idx.get(name) is not None
             ]

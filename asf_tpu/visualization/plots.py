@@ -50,8 +50,10 @@ def plot_topk_histogram(tag, array, k=10, class_names=None, figsize=(8, 8)):
         names = [str(i) for i in ind]
     else:
         names = [class_names[i] for i in ind]
-    plt.bar(range(k), val)
-    plt.xticks(range(k), names, rotation=45)
+    # len(val) < k when there are fewer classes than TOPK: bar over the
+    # actual count (range(k) raises a shape mismatch mid-eval).
+    plt.bar(range(len(val)), val)
+    plt.xticks(range(len(val)), names, rotation=45)
     plt.title(tag)
     plt.tight_layout()
     return fig
