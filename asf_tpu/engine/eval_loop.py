@@ -309,6 +309,7 @@ def _eval_legacy(
 
 
 def build_val_meter(cfg, max_iter: int):
-    if cfg.TRAIN.DATASET.lower().startswith("epickitchens"):
+    # see build_train_meter: EPIC meters require multitask label tuples
+    if cfg.TRAIN.DATASET.lower().startswith("epickitchens") and is_multitask(cfg):
         return EPICValMeter(max_iter, cfg, with_state=has_state_head(cfg))
     return ValMeter(max_iter, cfg)

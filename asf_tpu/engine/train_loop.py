@@ -268,7 +268,11 @@ def precise_bn(cfg, state: TrainState, train_loader, mesh, num_iters: int,
 
 
 def build_train_meter(cfg, epoch_iters: int):
-    if cfg.TRAIN.DATASET.lower().startswith("epickitchens"):
+    # EPICTrainMeter expects (verb, noun, action) tuples — only valid when
+    # the model IS multitask. An EPIC-named dataset with single-task labels
+    # (e.g. a custom registration) must use the scalar TrainMeter, matching
+    # the update signature train_epoch selects by is_multitask.
+    if cfg.TRAIN.DATASET.lower().startswith("epickitchens") and is_multitask(cfg):
         return EPICTrainMeter(epoch_iters, cfg, with_state=has_state_head(cfg))
     return TrainMeter(epoch_iters, cfg)
 

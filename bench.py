@@ -20,8 +20,9 @@ import time
 
 import numpy as np
 
-from asf_tpu.utils.jax_setup import enable_compilation_cache
+from asf_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache
 
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES (axon rewrites JAX_PLATFORMS)
 enable_compilation_cache()
 
 BATCH = 128  # per-chip sweet spot (see scripts/bench_model.py sweep)
@@ -110,7 +111,6 @@ def bench_torch_cpu_baseline(cfg, max_seconds=90.0):
 
     from asf_tpu.dsp import reference as dspref
 
-    torch.set_num_threads(max(1, (torch.get_num_threads())))
 
     alpha = cfg.SLOWFAST.ALPHA
     beta = cfg.SLOWFAST.BETA_INV
@@ -265,14 +265,17 @@ def main():
     except Exception as e:
         print(f"baseline failed: {e}", file=sys.stderr)
         base_clips = float("nan")
-    vs = tpu_clips / base_clips if base_clips == base_clips and base_clips > 0 else 0.0
+    # null (not 0.0) when the baseline is unavailable: a 0 ratio would be
+    # indistinguishable from a genuine result in tracked benchmark history.
+    ok = base_clips == base_clips and base_clips > 0
+    vs = round(tpu_clips / base_clips, 2) if ok else None
     print(
         json.dumps(
             {
                 "metric": "slowfast_r50_clips_per_sec_per_chip",
                 "value": round(tpu_clips, 2),
                 "unit": "clips/s",
-                "vs_baseline": round(vs, 2),
+                "vs_baseline": vs,
             }
         )
     )

@@ -17,40 +17,16 @@ import time
 
 import numpy as np
 
-from asf_tpu.utils.jax_setup import enable_compilation_cache
+from asf_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache
 
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES (axon rewrites JAX_PLATFORMS)
 enable_compilation_cache()
 
 BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
 ITERS = 10
 
 
-def chain_timer(fn, x0, iters=ITERS):
-    import jax
-    import jax.numpy as jnp
-
-    def chained(x, n):
-        def body(c, _):
-            y = fn(c)
-            return c + 1e-24 * jnp.mean(y).astype(c.dtype), None
-
-        out, _ = jax.lax.scan(body, x, None, length=n)
-        return jnp.sum(out)
-
-    short = jax.jit(lambda w: chained(w, iters))
-    long = jax.jit(lambda w: chained(w, 3 * iters))
-    float(short(x0))
-    float(long(x0))
-
-    def best(f, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(f(x0))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (best(long) - best(short)) / (2 * iters)
+from asf_tpu.utils.timing import chain_timer  # noqa: E402
 
 
 def main():
@@ -59,7 +35,6 @@ def main():
 
     from asf_tpu.config import get_cfg
     from asf_tpu.dsp.specaugment import spec_augment_batch
-    from asf_tpu.engine.optimizer import construct_optimizer
     from asf_tpu.engine.steps import init_state, make_input_pipeline
     from asf_tpu.models import build_model
 
@@ -102,15 +77,9 @@ def main():
         "labels": {"class_id": rng.integers(0, 309, (BATCH,)).astype(np.int64)},
     }
 
-    class _Lazy:
-        tx = None
+    from asf_tpu.engine.steps import lazy_optimizer
 
-        def init(self, params):
-            if self.tx is None:
-                self.tx = construct_optimizer(cfg, params)
-            return self.tx.init(params)
-
-    lazy = _Lazy()
+    lazy = lazy_optimizer(cfg)
     state = init_state(cfg, model, lazy, jax.random.PRNGKey(0), batch)
     batch_dev = jax.tree.map(jnp.asarray, batch)
 

@@ -11,6 +11,9 @@ import numpy as np
 
 from asf_tpu.config import get_cfg
 from asf_tpu.dsp.logmel import LogMelParams, log_mel_spectrogram
+from asf_tpu.utils.jax_setup import apply_platform_env
+
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES
 
 BATCH = 64
 ITERS = 50
@@ -19,7 +22,10 @@ ITERS = 50
 def timed(fn, wave):
     """Device-side scan chain with a data dependency between iterations, and
     a two-length difference — host-side per-call timing is unreliable here
-    (the relay caches identical dispatches) and includes fixed overheads."""
+    (the relay caches identical dispatches) and includes fixed overheads.
+
+    Not asf_tpu.utils.timing.chain_timer because this variant ALSO reports
+    the cold-compile seconds (part of this bench's output)."""
 
     def chained(w0, iters):
         def body(w, _):
@@ -64,7 +70,7 @@ def main():
         wave = jnp.asarray(
             rng.standard_normal((BATCH, p.clip_samples)).astype(np.float32) * 0.1
         )
-        fn = lambda w, p=p: log_mel_spectrogram(w, p, out_frames=400)
+        fn = lambda w, p=p: log_mel_spectrogram(w, p, out_frames=cfg.AUDIO_DATA.NUM_FRAMES)
         compile_s, dt = timed(fn, wave)
         clips = BATCH / dt
         results[name] = (compile_s, dt, clips)
@@ -83,8 +89,8 @@ def main():
     wave = jnp.asarray(
         rng.standard_normal((2, pa.clip_samples)).astype(np.float32) * 0.1
     )
-    a = np.asarray(log_mel_spectrogram(wave, pa, out_frames=400))
-    b = np.asarray(log_mel_spectrogram(wave, pb, out_frames=400))
+    a = np.asarray(log_mel_spectrogram(wave, pa, out_frames=cfg.AUDIO_DATA.NUM_FRAMES))
+    b = np.asarray(log_mel_spectrogram(wave, pb, out_frames=cfg.AUDIO_DATA.NUM_FRAMES))
     print("max |xla-pallas| (f32):", np.abs(a - b).max(), flush=True)
 
 

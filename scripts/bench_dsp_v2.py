@@ -22,7 +22,6 @@ apply_platform_env()
 enable_compilation_cache()
 
 BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
-ITERS = 10
 
 
 from asf_tpu.utils.timing import chain_timer  # noqa: E402
@@ -70,12 +69,18 @@ def main():
     print(f"frame      : {t*1e3:7.2f} ms  (support {pal.ksup}/{pal.n_fft})", flush=True)
 
     # resident kernel (frames rebuilt in-chain so timing includes nothing else)
+    # production divisor search (logmel_pallas.py __call__): a hardcoded
+    # r_tile silently skips the remainder rows when BATCH*t_pad is not a
+    # multiple — the grid would cover only floor(rows/r_tile) tiles.
+    def pick_r(cap):
+        return next(r for r in range(cap, 7, -8) if (BATCH * t_pad) % r == 0)
+
     def res_only(w):
         f = frame_waveform(w, t_pad, pal.hop, pal.n_fft, support=sup)
         f = f.reshape(BATCH * t_pad, pal.ksup).astype(jnp.bfloat16)
         return _resident_logmel(
             f, pal.w_cos, pal.w_sin, pal.mel_w,
-            k_chunk=pal.k_tile, r_tile=256,
+            k_chunk=pal.k_tile, r_tile=pick_r(256),
             precision=pal.precision, interpret=False, eps=1e-6,
         )
 
@@ -92,7 +97,7 @@ def main():
         f = f.reshape(BATCH * t_pad, pal2.ksup).astype(jnp.bfloat16)
         part = _partial_mel(
             f, pal2.w_cos, pal2.w_sin, pal2.mel_w,
-            k_tile=256, r_tile=512,
+            k_tile=256, r_tile=pick_r(512),
             precision=pal2.precision, interpret=False,
         )
         return jnp.log(jnp.sum(part, axis=0) + 1e-6)

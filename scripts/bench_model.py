@@ -7,27 +7,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from asf_tpu.utils.jax_setup import apply_platform_env
 
-def chain_timer(fn, x0, iters=10):
-    def chained(x, n):
-        def body(c, _):
-            y = fn(c)
-            return c + 1e-24 * jnp.mean(y).astype(c.dtype), None
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES
 
-        out, _ = jax.lax.scan(body, x, None, length=n)
-        return jnp.sum(out)
-
-    short = jax.jit(lambda w: chained(w, iters))
-    long = jax.jit(lambda w: chained(w, 3 * iters))
-    float(short(x0)); float(long(x0))
-
-    def best(f, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter(); float(f(x0)); ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (best(long) - best(short)) / (2 * iters)
+from asf_tpu.utils.timing import chain_timer  # noqa: E402
 
 
 def main():

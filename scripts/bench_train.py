@@ -8,8 +8,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from asf_tpu.utils.jax_setup import enable_compilation_cache
+from asf_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache
 
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES (axon rewrites JAX_PLATFORMS)
 enable_compilation_cache()
 
 import os
@@ -19,7 +20,6 @@ ITERS = 20
 
 def main():
     from asf_tpu.config import get_cfg
-    from asf_tpu.engine.optimizer import construct_optimizer
     from asf_tpu.engine.steps import TrainState, init_state, make_train_step
     from asf_tpu.models import build_model
 
@@ -44,15 +44,9 @@ def main():
         "labels": {"class_id": rng.integers(0, 309, (BATCH,)).astype(np.int64)},
     }
 
-    class _Lazy:
-        tx = None
+    from asf_tpu.engine.steps import lazy_optimizer
 
-        def init(self, params):
-            if self.tx is None:
-                self.tx = construct_optimizer(cfg, params)
-            return self.tx.init(params)
-
-    lazy = _Lazy()
+    lazy = lazy_optimizer(cfg)
     state = init_state(cfg, model, lazy, jax.random.PRNGKey(0), batch)
     train_step = make_train_step(cfg, model, lazy.tx)
 

@@ -18,8 +18,9 @@ import time
 
 import numpy as np
 
-from asf_tpu.utils.jax_setup import enable_compilation_cache
+from asf_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache
 
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES (axon rewrites JAX_PLATFORMS)
 enable_compilation_cache()
 
 BATCH = int(os.environ.get("ASF_BENCH_BATCH", 128))
@@ -124,7 +125,6 @@ def main():
 
     from asf_tpu.config import get_cfg
     from asf_tpu.data.loader import construct_loader
-    from asf_tpu.engine.optimizer import construct_optimizer
     from asf_tpu.engine.steps import (
         TrainState,
         init_state,
@@ -173,15 +173,9 @@ def main():
     example = next(iter(loader))
     example.pop("metadata", None)
 
-    class _Lazy:
-        tx = None
+    from asf_tpu.engine.steps import lazy_optimizer
 
-        def init(self, params):
-            if self.tx is None:
-                self.tx = construct_optimizer(cfg, params)
-            return self.tx.init(params)
-
-    lazy = _Lazy()
+    lazy = lazy_optimizer(cfg)
     rng = jax.random.PRNGKey(0)
     state = init_state(cfg, model := build_model(cfg), lazy, rng, example)
     state = TrainState(
@@ -226,7 +220,6 @@ def main():
     # real loop sits at this number.
     from asf_tpu.data.loader import DevicePrefetcher
     from asf_tpu.parallel.mesh import macro_batch_sharding
-    from asf_tpu.utils import lr_policy
 
     ms_sh = macro_batch_sharding(mesh)
     pf = DevicePrefetcher(iter(loader), depth=2, sharding=None,

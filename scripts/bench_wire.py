@@ -15,8 +15,9 @@ import time
 
 import numpy as np
 
-from asf_tpu.utils.jax_setup import enable_compilation_cache
+from asf_tpu.utils.jax_setup import apply_platform_env, enable_compilation_cache
 
+apply_platform_env()  # honour ASF_PLATFORM/ASF_CPU_DEVICES (axon rewrites JAX_PLATFORMS)
 enable_compilation_cache()
 
 

@@ -136,7 +136,6 @@ def main(argv=None):
         make_train_step,
     )
     from asf_tpu.engine.train_loop import make_precise_bn_step
-    from asf_tpu.engine.optimizer import construct_optimizer
     from asf_tpu.models import build_model
     from asf_tpu.parallel.mesh import (
         batch_sharding,
@@ -160,15 +159,9 @@ def main(argv=None):
     batches = _canonical_batches(cfg, batch_size)
     example = dict(batches[0])
 
-    class _Lazy:
-        tx = None
+    from asf_tpu.engine.steps import lazy_optimizer
 
-        def init(self, params):
-            if self.tx is None:
-                self.tx = construct_optimizer(cfg, params)
-            return self.tx.init(params)
-
-    lazy = _Lazy()
+    lazy = lazy_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     state = init_state(cfg, model, lazy, rng, example)
     from asf_tpu.engine.steps import TrainState
@@ -246,6 +239,25 @@ def main(argv=None):
             jax.block_until_ready(stats)
             print(f"[warm] precise-BN    {b['waveform'].shape}: {time.time()-t0:.1f}s", flush=True)
             n += 1
+
+    # test(cfg) dispatches at TEST.BATCH_SIZE (loader.py construct_loader),
+    # a DIFFERENT compile key than the train/val programs above whenever it
+    # differs from TRAIN.BATCH_SIZE (defaults: 8 vs 64) — warm those too.
+    test_bs = int(cfg.TEST.BATCH_SIZE)
+    if test_bs != batch_size:
+        for b in _canonical_batches(cfg, test_bs):
+            t0 = time.time()
+            preds = eval_step(state, shard_batch(dict(b), mesh))
+            jax.block_until_ready(preds)
+            print(f"[warm] test fwd      {b['waveform'].shape}: {time.time()-t0:.1f}s", flush=True)
+            n += 1
+            if eval_multi is not None:
+                t0 = time.time()
+                masks = put_with(np.ones((k, test_bs), np.float32), ms)
+                outs, accs = eval_multi(state, put_with(_macro(b), ms), masks)
+                jax.block_until_ready(accs)
+                print(f"[warm] test K={k}      {b['waveform'].shape}: {time.time()-t0:.1f}s", flush=True)
+                n += 1
 
     print(f"[warm] {n} programs compiled+cached in {time.time()-t_start:.0f}s", flush=True)
 
