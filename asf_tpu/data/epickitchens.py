@@ -154,9 +154,10 @@ class EpicKitchens:
 
         Waveform augmentations (annotation column ``transformation``) run on
         the host in float and leave the grid, so any transformed record
-        disables the path. The float probe samples the head of up to 8
-        videos; a pathological archive that leaves the grid mid-file would
-        pass the probe, but such files do not arise from PCM sources.
+        disables the path. The float probe checks a head AND a mid-file chunk
+        of EVERY video (16 Ki samples each — ~128 KB/video, one-time at
+        dataset construction), so an archive that leaves the 16-bit grid
+        mid-file or in a later video is caught, not silently quantized.
         """
         if any(
             getattr(r, "transformation", "none") != "none"
@@ -174,25 +175,29 @@ class EpicKitchens:
         except OSError:
             self.int16 = False  # __getitem__ will surface the real IO error
             return
-        probed = 0
+        chunk_len = 16384
+
+        def on_grid(samples: np.ndarray) -> bool:
+            v = np.asarray(samples, np.float32) * 32768.0
+            return bool(
+                np.all(v == np.rint(v))
+                and (v.size == 0 or (v.min() >= -32768.0 and v.max() <= 32767.0))
+            )
+
         for vid in dict.fromkeys(
             r.untrimmed_video_name for r in self._audio_records
         ):
-            if probed >= 8:
-                break
             dset = f.get(vid)
             if dset is None:
                 continue
             if dset.dtype == np.int16:
-                probed += 1
                 continue
-            head = np.asarray(dset[: min(dset.shape[0], 65536)], np.float32)
-            v = head * 32768.0
-            if not (
-                dset.dtype == np.float32
-                and np.all(v == np.rint(v))
-                and (v.size == 0 or (v.min() >= -32768.0 and v.max() <= 32767.0))
-            ):
+            n = int(dset.shape[0])
+            mid = max(0, n // 2 - chunk_len // 2)
+            ok = dset.dtype == np.float32 and on_grid(
+                dset[: min(n, chunk_len)]
+            ) and (mid < chunk_len or on_grid(dset[mid : mid + chunk_len]))
+            if not ok:
                 logger.warning(
                     "TPU.INT16_TRANSFER disabled for %s %s: %s is %s and not "
                     "on the 16-bit PCM grid", type(self).__name__, self.mode,
@@ -200,7 +205,6 @@ class EpicKitchens:
                 )
                 self.int16 = False
                 return
-            probed += 1
 
     def _read_region(self, video_id: str, start: int, end: int) -> np.ndarray:
         """Region read with zero-padding outside the video bounds.

@@ -581,9 +581,13 @@ class EPICTestMeterSlide:
         if verb_l.ndim == 1:
             verb_l = verb_l[:, None]
             noun_l = noun_l[:, None]
+        # Accumulate (don't overwrite): the reference's ensemble variant sums
+        # scores into the window slot (meters.py:1846 '+='), which is what
+        # makes window_count a meaningful weight when a window is scored by
+        # multiple views; single-visit slots are unaffected (start at zero).
         for i, cid in enumerate(np.asarray(clip_ids)):
-            self.verb_preds[cid] = verb_p[i]
-            self.noun_preds[cid] = noun_p[i]
+            self.verb_preds[cid] += verb_p[i]
+            self.noun_preds[cid] += noun_p[i]
             self.verb_labels[cid, : verb_l.shape[1]] = verb_l[i]
             self.noun_labels[cid, : noun_l.shape[1]] = noun_l[i]
             if metadata is not None and "narration_id" in metadata:

@@ -196,7 +196,11 @@ def train_epoch(
         # window.
         if hasattr(src, "stop"):
             src.stop()
-        fetch_pool.shutdown(wait=False)
+        # wait=True is bounded: the worker only runs jax.device_get + meter
+        # updates. cancel_futures drops queued flushes so the reap is O(1
+        # in-flight flush), and the worker thread is deterministically gone
+        # when shutdown returns (the exception-cleanup test asserts this).
+        fetch_pool.shutdown(wait=True, cancel_futures=True)
         if tracing:
             jax.profiler.stop_trace()
             logger.info("Saved profiler trace to %s", profile_dir)

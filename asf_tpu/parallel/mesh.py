@@ -50,14 +50,33 @@ def check_batch_divisibility(cfg, mesh: Mesh, batch_size: int, which: str):
     """Fail fast with an actionable message: shard_batch would otherwise die
     mid-loop (after minutes of compiles) with a bare XLA shape error when the
     batch axis does not divide the mesh's data axis (e.g. NUM_GPUS=1 configs
-    on a multi-device host, where 1 means 'all available')."""
+    on a multi-device host, where 1 means 'all available').
+
+    ``batch_size`` is the PER-PROCESS batch size (the loader yields rank
+    shards under multi-host); when the mesh spans processes the global batch
+    is ``batch_size * process_count`` rows assembled by
+    ``make_array_from_process_local_data``, so the requirement is
+    ``batch_size % (dp / process_count) == 0``, i.e. per-process batch %
+    per-process slice of the data axis."""
     dp = int(mesh.shape.get("data", mesh.devices.size))
+    if mesh_spans_processes(mesh):
+        nproc = len({d.process_index for d in mesh.devices.flat})
+        local_dp, rem = divmod(dp, nproc)
+        # A data axis not evenly split over processes means the rank-shard
+        # assembly itself is invalid; report that instead of a batch hint.
+        if rem:
+            raise ValueError(
+                f"mesh data axis {dp} is not divisible by the process count "
+                f"{nproc} (mesh shape {dict(mesh.shape)}); per-process batch "
+                f"assembly requires an even split."
+            )
+        dp = local_dp
     if batch_size % dp != 0:
         raise ValueError(
-            f"{which}.BATCH_SIZE={batch_size} is not divisible by the mesh's "
-            f"data-parallel size {dp} (mesh shape {dict(mesh.shape)}). Set "
-            f"TPU.DATA_PARALLEL (or NUM_GPUS>1) to a divisor, or adjust the "
-            f"batch size."
+            f"{which}.BATCH_SIZE={batch_size} (per-process) is not divisible "
+            f"by this process's share of the mesh data axis, {dp} (mesh "
+            f"shape {dict(mesh.shape)}). Set TPU.DATA_PARALLEL (or "
+            f"NUM_GPUS>1) to a divisor, or adjust the batch size."
         )
 
 

@@ -237,26 +237,71 @@ def bench_torch_cpu_baseline(cfg, max_seconds=90.0):
     return n_done / dt
 
 
+def _emit_error(kind: str, detail: str):
+    """One machine-readable JSON line on stdout so a driver capture failure
+    parses instead of dumping a traceback tail (VERDICT r3 next-step #8)."""
+    print(
+        json.dumps(
+            {
+                "metric": "slowfast_r50_clips_per_sec_per_chip",
+                "value": None,
+                "unit": "clips/s",
+                "vs_baseline": None,
+                "error": kind,
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _probe_device(timeout_s: float = 120.0) -> bool:
+    """True iff the backend answers a trivial reduction within timeout.
+
+    When the axon relay is down, jax.devices() hangs at enumeration forever —
+    run the probe on a side thread and give up after ``timeout_s`` (the op
+    itself is tiny; 120 s covers a cold backend handshake with margin)."""
+    import threading
+
+    done = threading.Event()
+
+    def _go():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            float(jnp.sum(jnp.ones((4, 4))))
+            done.set()
+        except Exception:
+            pass  # leave unset -> treated as down
+
+    t = threading.Thread(target=_go, daemon=True)
+    t.start()
+    return done.wait(timeout_s)
+
+
 def main():
-    # Watchdog: if the TPU relay is down, device enumeration/compiles hang
-    # indefinitely — fail loudly instead so the caller records an error
-    # rather than waiting forever. 45 min covers the worst cold-compile path
-    # (~25 min) with margin.
+    # Watchdog: if the TPU relay dies mid-run, compiles hang indefinitely —
+    # fail loudly (and machine-readably) instead so the caller records an
+    # error rather than waiting forever. 45 min covers the worst cold-compile
+    # path (~25 min) with margin.
     import os
     import threading
 
     def _deadline():
-        print(
-            "bench.py watchdog: no result within 45 min (TPU relay down or "
-            "compile wedged) — aborting.",
-            file=sys.stderr,
-            flush=True,
+        _emit_error(
+            "relay_down",
+            "watchdog: no result within 45 min (relay down or compile wedged)",
         )
         os._exit(17)
 
     watchdog = threading.Timer(45 * 60, _deadline)
     watchdog.daemon = True
     watchdog.start()
+
+    if not _probe_device():
+        _emit_error("relay_down", "device probe did not answer within 120 s")
+        os._exit(17)
 
     cfg = _flagship_cfg()
     tpu_clips = bench_tpu(cfg)

@@ -77,14 +77,15 @@ def test_train_epoch_exception_stops_prefetcher(tmp_path):
     assert stopped, "DevicePrefetcher.stop() not called on mid-epoch exception"
 
     # the prefetcher worker must exit promptly (stop() drains its queue) and
-    # the metrics pool thread must be reaped
+    # the metrics pool thread must be reaped. NOTE: ThreadPoolExecutor
+    # workers are NON-daemon threads (since py3.9), so the grace loop must
+    # not filter on t.daemon — train_epoch's finally now does
+    # shutdown(wait=True), so this loop is belt-and-braces only.
     deadline = time.time() + 10.0
     while time.time() < deadline:
         alive = [
             t for t in threading.enumerate()
-            if t.is_alive() and t.daemon and (
-                t.name.startswith("asf-metrics")
-            )
+            if t.is_alive() and t.name.startswith("asf-metrics")
         ]
         if not alive:
             break
