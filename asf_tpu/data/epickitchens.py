@@ -74,6 +74,13 @@ class EpicKitchens:
         self.clip_samples = self.clip_size - 1
         self._epoch = 0
         self.int16 = bool(cfg.TPU.INT16_TRANSFER) if "TPU" in cfg else False
+        cache_mb = int(getattr(cfg.TPU, "HOST_WAVEFORM_CACHE_MB", 0)) if "TPU" in cfg else 0
+        if cache_mb > 0:
+            from .cache import ByteLRUCache
+
+            self._seg_cache = ByteLRUCache(cache_mb << 20)
+        else:
+            self._seg_cache = None
 
         self._construct_loader()
         if self.int16:
@@ -232,6 +239,23 @@ class EpicKitchens:
             out[a - int(start) : b - int(start)] = chunk
         return out
 
+    def _cached_region(self, video_id: str, start: int, end: int) -> np.ndarray:
+        """_read_region through the host-RAM segment LRU (data/cache.py).
+
+        Keys are exact (video, start, end) regions, so record-level segment
+        reads (deterministic per record) hit on every epoch >= 2; the random
+        per-epoch CLIP start is taken by slicing the cached segment. Returned
+        arrays are read-only views — callers copy into batch buffers.
+        """
+        if self._seg_cache is None:
+            return self._read_region(video_id, start, end)
+        key = (video_id, int(start), int(end))
+        arr = self._seg_cache.get(key)
+        if arr is None:
+            arr = self._read_region(video_id, start, end)
+            self._seg_cache.put(key, arr)
+        return arr
+
     # -- item assembly -----------------------------------------------------
     def _clip_for_record(self, record, temporal_sample_index, rng) -> tuple[int, int]:
         """Start sample + number of valid samples for a regular record,
@@ -270,7 +294,17 @@ class EpicKitchens:
         tsi = -1 if self.mode in ["train", "val", "train+val"] else self._temporal_idx[index]
         start, n_valid = self._clip_for_record(record, tsi, rng)
         wave = np.zeros(self.clip_samples, np.int16 if self.int16 else np.float32)
-        region = self._read_region(record.untrimmed_video_name, start, start + n_valid)
+        if self._seg_cache is not None:
+            # Cache the whole RECORD segment (epoch-stable key) and slice the
+            # random clip window out of it; the clip is always inside the
+            # segment (_clip_for_record picks start in
+            # [record.start, record.start + num - clip]).
+            seg_a = record.start_audio_sample
+            seg_b = seg_a + max(0, record.num_audio_samples)
+            seg = self._cached_region(record.untrimmed_video_name, seg_a, seg_b)
+            region = seg[start - seg_a : start - seg_a + n_valid]
+        else:
+            region = self._read_region(record.untrimmed_video_name, start, start + n_valid)
         wave[: len(region)] = self._apply_transform(record, region, rng)[: self.clip_samples]
         return {
             "waveform": wave,
@@ -295,7 +329,7 @@ class EpicKitchens:
             region_end = max(seg_start, record.end_audio_sample)
         else:
             region_end = seg_start + (n_windows - 1) * sr + self.clip_size
-        region = self._read_region(record.untrimmed_video_name, seg_start, region_end)
+        region = self._cached_region(record.untrimmed_video_name, seg_start, region_end)
         vid_len = self._video_len(record.untrimmed_video_name)
 
         waves = np.zeros(

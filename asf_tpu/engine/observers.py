@@ -53,6 +53,28 @@ class ScalarLogger:
         if self.wandb_run is not None:
             self.wandb_run.log(scalars, step=global_step)
 
+    def log_histograms(self, hists, global_step: Optional[int] = None):
+        """Per-layer parameter/gradient histograms — wandb.watch(log="all")
+        parity (reference tools/train_net.py:768). ``hists`` maps layer name
+        to {"counts": (64,), "lo": scalar, "hi": scalar} summarised in-graph
+        by engine/steps.py watch_summary."""
+        if self.wandb_run is None:
+            return
+        import numpy as np
+
+        try:
+            import wandb
+
+            payload = {}
+            for name, h in hists.items():
+                counts = np.asarray(h["counts"], np.int64)
+                lo, hi = float(h["lo"]), float(h["hi"])
+                edges = np.linspace(lo, max(hi, lo + 1e-12), counts.size + 1)
+                payload[name] = wandb.Histogram(np_histogram=(counts, edges))
+            self.wandb_run.log(payload, step=global_step)
+        except Exception as e:
+            logger.warning("wandb histogram log failed: %s", e)
+
     def alert(self, title: str, text: str):
         """wandb.alert parity (utils/loss.py:114-128) — warning-level."""
         if self.wandb_run is not None:

@@ -87,6 +87,7 @@ def make_input_pipeline(cfg):
     multi = is_multi_pathway(cfg)
     alpha = cfg.SLOWFAST.ALPHA
     t_out = cfg.AUDIO_DATA.NUM_FRAMES
+    augment = bool(getattr(cfg.TPU, "SPEC_AUGMENT", True))
 
     def pipeline(waveform, n_valid, rng: Optional[jax.Array] = None, train: bool = False):
         if waveform.dtype == jnp.int16:
@@ -106,7 +107,7 @@ def make_input_pipeline(cfg):
 
         spec = log_mel_spectrogram(flat, p, n_valid_samples=nv, out_frames=t_out)
 
-        if train and rng is not None:
+        if train and rng is not None and augment:
             spec = spec_augment_batch(rng, spec)
 
         if multi:
@@ -235,12 +236,54 @@ def make_device_metrics(cfg):
     return compute
 
 
+WATCH_BINS = 64
+
+
+def _watch_hist(x):
+    """64-bin histogram summary of one tensor: (counts, lo, hi), in-graph.
+
+    The bin edges are linspace(lo, hi, 65) — reconstructed host-side by
+    ScalarLogger.log_histograms into a ``wandb.Histogram(np_histogram=...)``.
+    """
+    x = x.astype(jnp.float32).ravel()
+    lo, hi = jnp.min(x), jnp.max(x)
+    span = jnp.maximum(hi - lo, 1e-12)
+    idx = jnp.clip(((x - lo) / span * WATCH_BINS).astype(jnp.int32), 0, WATCH_BINS - 1)
+    counts = jnp.zeros((WATCH_BINS,), jnp.int32).at[idx].add(1)
+    return {"counts": counts, "lo": lo, "hi": hi}
+
+
+def _watch_name(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "name", None)
+        if key is None:
+            key = getattr(p, "idx", None)
+        parts.append(str(key))
+    return "/".join(parts)
+
+
+def watch_summary(params, grads):
+    """Per-layer parameter + gradient histograms — wandb.watch(log="all")
+    parity (reference tools/train_net.py:768) without shipping tensors to
+    the host: each layer reduces to 64 counts + a range."""
+    out = {}
+    for label, tree in (("parameters", params), ("gradients", grads)):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            out[f"{label}/{_watch_name(path)}"] = _watch_hist(leaf)
+    return out
+
+
 def _make_step_core(cfg, model, tx):
     """The un-jitted single train step; shared by the per-batch jit wrapper
     and the scanned multi-batch dispatch (``make_train_multi_step``)."""
     pipeline = make_input_pipeline(cfg)
     loss_fn_ = make_loss_fn(cfg)
     device_metrics = make_device_metrics(cfg)
+    watch = bool(cfg.WANDB.ENABLE and getattr(cfg.TPU, "WATCH_HISTOGRAMS", True))
+    watch_period = max(1, int(cfg.LOG_PERIOD))
 
     def train_step(state: TrainState, batch, lr, rng):
         rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -269,11 +312,27 @@ def _make_step_core(cfg, model, tx):
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
-        # wandb.watch stand-in (reference train_net.py:752): global grad and
-        # param L2 norms, logged by the loop every LOG_PERIOD
+        # wandb.watch parity (reference train_net.py:768): global grad/param
+        # L2 norms every step, plus per-layer 64-bin histograms every
+        # LOG_PERIOD steps (lax.cond keeps the scatter-adds off the critical
+        # path on non-logging steps; the zeros branch is free).
         parts = dict(parts)
         parts["grad_norm"] = optax.global_norm(grads)
         parts["param_norm"] = optax.global_norm(new_params)
+        if watch:
+            fresh = (state.step % watch_period) == 0
+
+            def _summary():
+                return watch_summary(new_params, grads)
+
+            def _zeros():
+                return jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(_summary)
+                )
+
+            hists = jax.lax.cond(fresh, _summary, _zeros)
+            hists["_fresh"] = fresh.astype(jnp.int32)
+            parts["watch"] = hists
 
         stats = device_metrics(preds, batch["labels"])
 

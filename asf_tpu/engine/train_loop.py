@@ -14,6 +14,7 @@ Replaced subsystems:
 from __future__ import annotations
 
 import math
+import time
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,7 @@ from asf_tpu.models.norm import check_sync_bn_mesh
 from asf_tpu.parallel.mesh import check_batch_divisibility, make_mesh, param_shardings, replicate_tree, shard_batch
 from asf_tpu.utils import lr_policy
 from asf_tpu.utils.logging import get_logger, setup_logging
-from .eval_loop import build_val_meter, eval_epoch
+from .eval_loop import DeviceValCache, build_val_meter, eval_epoch
 from .meters import EPICTrainMeter, TrainMeter
 from .steps import (
     lazy_optimizer,
@@ -112,11 +113,28 @@ def train_epoch(
 
     def apply_host(metas, host):
         for (it0, _, _, lrs, mb_size, k), (parts_d, stats_d) in zip(metas, host):
+            parts_d = dict(parts_d)
+            # per-layer wandb.watch histograms (engine/steps.py watch_summary):
+            # non-scalar, routed to the histogram sink instead of the meter
+            watch_d = parts_d.pop("watch", None)
             for i in range(k):
                 pick = (lambda v: float(v[i])) if k > 1 else float
                 parts_h = {key: pick(v) for key, v in parts_d.items()}
                 stats_h = {key: pick(v) for key, v in stats_d.items()}
                 cur_it, lr = it0 + i, lrs[i]
+                if (
+                    watch_d is not None
+                    and scalar_logger is not None
+                    and int(pick(watch_d["_fresh"]))
+                ):
+                    hists = {
+                        name: {kk: (vv[i] if k > 1 else vv) for kk, vv in h.items()}
+                        for name, h in watch_d.items()
+                        if name != "_fresh"
+                    }
+                    scalar_logger.log_histograms(
+                        hists, global_step=data_size * cur_epoch + cur_it
+                    )
                 check_nan_losses(parts_h["loss"])
                 check_state_alerts(parts_h, stats_h, scalar_logger)
                 if multitask:
@@ -341,8 +359,28 @@ def train(cfg):
         else None
     )
 
+    if cfg.TPU.WARM_COMPILE_ON_START:
+        from .warmup import warm_compile
+
+        t0 = time.time()
+        n_warm = warm_compile(
+            cfg, mesh, state, train_step, multi_step,
+            eval_metrics_step, eval_multi_step,
+        )
+        logger.info(
+            "Warm-up compiled %d programs in %.0fs (persistent-cache hot "
+            "for this config)", n_warm, time.time() - t0,
+        )
+
     train_meter = build_train_meter(cfg, len(train_loader))
     val_meter = build_val_meter(cfg, len(val_loader))
+    # Device-resident val set: the first eval epoch records its padded +
+    # uploaded dispatch inputs under a byte budget; later eval epochs replay
+    # them wire-free (val items are epoch-independent — only the TRAIN
+    # loader is reshuffled above).
+    val_device_cache = DeviceValCache(
+        int(getattr(cfg.TPU, "VAL_DEVICE_CACHE_MB", 0)) << 20
+    )
     pbn_step = make_precise_bn_step(cfg) if cfg.BN.USE_PRECISE_STATS else None
 
     from .observers import ScalarLogger
@@ -375,6 +413,7 @@ def train(cfg):
                 scalar_logger=scalar_logger,
                 metrics_step=eval_metrics_step,
                 multi_metrics_step=eval_multi_step,
+                device_cache=val_device_cache,
             )
             if top1:
                 scalar_logger.log(

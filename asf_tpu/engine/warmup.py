@@ -1,0 +1,187 @@
+"""Canonical dispatch shapes + ahead-of-time program warm-up.
+
+Full-model TPU compiles take minutes (the K-scanned train step 20-30 min
+cold — CLAUDE.md measured numbers); a GRU config with window BUCKETING
+compiles one train program PER BUCKET, so a real run could stall mid-epoch
+on a fresh window count (VERDICT r3 weak #3). Two mitigations live here:
+
+  * ``canonical_batches`` — the exact (batch, clip[, windows]) shapes the
+    loaders collate, so warm-up compiles key-match the real dispatches
+    bit-for-bit. Shared by ``scripts/warm_cache.py`` (standalone pre-pay
+    into the persistent cache) and ``warm_compile`` below.
+  * ``warm_compile`` — ``jit.lower(...).compile()`` every program
+    ``train(cfg)`` will dispatch, BEFORE the epoch loop (gated by
+    ``TPU.WARM_COMPILE_ON_START``). AOT compilation executes nothing (no
+    optimizer step, no donation), but populates both the in-process jit
+    cache and the persistent compilation cache, so the cold-start cost is
+    paid predictably up front instead of surprising the first N dispatches
+    (and EVERY bucket change, for GRU runs with TPU.GRU_SINGLE_BUCKET off).
+
+The reference has no counterpart: eager torch pays no compile at all
+(SURVEY §2.6); this is repo-only machinery for the XLA compilation model.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from asf_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def int16_in_effect(cfg) -> bool:
+    """The waveform dtype the REAL run will dispatch.
+
+    cfg.TPU.INT16_TRANSFER alone is not enough: the datasets run a
+    construct-time probe (off-PCM-grid HDF5, non-mono/non-int16 wavs) that
+    can disable int16 at runtime — and then every program warmed for int16
+    keys would miss the cache. Replicate the decision by constructing the
+    dataset when the data is reachable; fall back to the flag (with a
+    warning) when it is not.
+    """
+    if not cfg.TPU.INT16_TRANSFER:
+        return False
+    try:
+        from asf_tpu.data.build import build_dataset
+
+        ds = build_dataset(cfg.TRAIN.DATASET, cfg, "train")
+        return bool(getattr(ds, "int16", False))
+    except Exception as e:  # data absent: warm for the flag-derived dtype
+        logger.warning(
+            "warm-up could not probe the dataset (%s: %s); assuming "
+            "TPU.INT16_TRANSFER holds — if the real run's probe disables "
+            "int16, the warmed programs will miss the cache.",
+            type(e).__name__, e,
+        )
+        return True
+
+
+def gru_buckets(cfg) -> list[int]:
+    """The window-count buckets the loader can emit (data/loader.py
+    bucket_windows): [MAX_NB] under GRU_SINGLE_BUCKET, else all powers of
+    two up to and including MAX_NB_SPECTROGRAMS."""
+    max_n = int(cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS)
+    if cfg.TPU.GRU_SINGLE_BUCKET:
+        return [max_n]
+    buckets, b = [], 1
+    while b < max_n:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_n)
+    return sorted(set(buckets))
+
+
+def canonical_batches(cfg, batch_size: int, int16: bool | None = None):
+    """Zero batches with the exact shapes/dtypes the loaders collate."""
+    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+    if int16 is None:
+        int16 = int16_in_effect(cfg)
+    wave_dtype = np.int16 if int16 else np.float32
+    multitask = len(cfg.MODEL.NUM_CLASSES) > 1
+
+    def labels():
+        if multitask:
+            lab = {
+                "verb": np.zeros((batch_size,), np.int64),
+                "noun": np.zeros((batch_size,), np.int64),
+            }
+            if not cfg.MODEL.ONLY_ACTION_RECOGNITION:
+                import pandas as pd
+
+                n_attr = len(pd.read_csv(cfg.MODEL.PDDL_ATTRIBUTES))
+                lab["precs"] = np.zeros((batch_size, n_attr), np.float32)
+                lab["posts"] = np.zeros((batch_size, n_attr), np.float32)
+            return lab
+        return {"class_id": np.zeros((batch_size,), np.int64)}
+
+    gru = cfg.MODEL.MODEL_NAME == "AudioSlowFastGRU"
+    batches = []
+    if gru:
+        for nb in gru_buckets(cfg):
+            batches.append(
+                {
+                    "waveform": np.zeros((batch_size, nb, clip), wave_dtype),
+                    "n_valid": np.ones((batch_size, nb), np.int32),
+                    "lengths": np.ones((batch_size,), np.int32),
+                    "noun_embedding": np.zeros((batch_size, 512), np.float32),
+                    "labels": labels(),
+                    "index": np.arange(batch_size, dtype=np.int64),
+                }
+            )
+    else:
+        batches.append(
+            {
+                "waveform": np.zeros((batch_size, clip), wave_dtype),
+                "n_valid": np.full((batch_size,), clip, np.int32),
+                "labels": labels(),
+                "index": np.arange(batch_size, dtype=np.int64),
+            }
+        )
+    return batches
+
+
+def _macro(b, k: int):
+    return {
+        key: (
+            {kk: np.stack([vv] * k) for kk, vv in val.items()}
+            if isinstance(val, dict)
+            else np.stack([val] * k)
+        )
+        for key, val in b.items()
+    }
+
+
+def warm_compile(
+    cfg, mesh, state, train_step, multi_step=None,
+    metrics_step=None, eval_multi_step=None,
+) -> int:
+    """AOT-compile every program train(cfg) dispatches, for every loader
+    shape. Returns the number of programs lowered+compiled."""
+    import jax
+    import jax.numpy as jnp
+
+    from asf_tpu.parallel.mesh import (
+        batch_sharding,
+        macro_batch_sharding,
+        put_with,
+        shard_batch,
+    )
+
+    k = max(1, int(cfg.TPU.STEPS_PER_DISPATCH))
+    batch_size = int(cfg.TRAIN.BATCH_SIZE)
+    rng = jax.random.PRNGKey(0)
+    bs = batch_sharding(mesh)
+    ms = macro_batch_sharding(mesh)
+
+    n = 0
+    for b in canonical_batches(cfg, batch_size):
+        shape = b["waveform"].shape
+        t0 = time.time()
+        sb = shard_batch(dict(b), mesh)
+        train_step.lower(state, sb, jnp.float32(0.0), rng).compile()
+        logger.info("[warm] train single %s: %.1fs", shape, time.time() - t0)
+        n += 1
+        if multi_step is not None:
+            t0 = time.time()
+            mb = put_with(_macro(b, k), ms)
+            multi_step.lower(state, mb, jnp.zeros((k,), jnp.float32), rng).compile()
+            logger.info("[warm] train K=%d %s: %.1fs", k, shape, time.time() - t0)
+            n += 1
+        if metrics_step is not None:
+            t0 = time.time()
+            mask = put_with(np.ones((batch_size,), np.float32), bs)
+            metrics_step.lower(state, shard_batch(dict(b), mesh), mask).compile()
+            logger.info("[warm] eval metrics %s: %.1fs", shape, time.time() - t0)
+            n += 1
+        if eval_multi_step is not None:
+            t0 = time.time()
+            masks = put_with(np.ones((k, batch_size), np.float32), ms)
+            eval_multi_step.lower(
+                state, put_with(_macro(b, k), ms), masks
+            ).compile()
+            logger.info("[warm] eval K=%d %s: %.1fs", k, shape, time.time() - t0)
+            n += 1
+    return n

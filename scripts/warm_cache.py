@@ -35,88 +35,9 @@ apply_platform_env()
 enable_compilation_cache()
 
 
-def _int16_in_effect(cfg):
-    """The waveform dtype the REAL run will dispatch.
-
-    cfg.TPU.INT16_TRANSFER alone is not enough: the datasets run a
-    construct-time probe (off-PCM-grid HDF5, non-mono/non-int16 wavs) that
-    can disable int16 at runtime — and then every program warmed for int16
-    keys would miss the cache. Replicate the decision by constructing the
-    dataset when the data is reachable; fall back to the flag (with a
-    warning) when it is not.
-    """
-    if not cfg.TPU.INT16_TRANSFER:
-        return False
-    try:
-        from asf_tpu.data.build import build_dataset
-
-        ds = build_dataset(cfg.TRAIN.DATASET, cfg, "train")
-        return bool(getattr(ds, "int16", False))
-    except Exception as e:  # data absent: warm for the flag-derived dtype
-        print(
-            f"warm_cache: could not probe the dataset ({type(e).__name__}: {e});"
-            " assuming TPU.INT16_TRANSFER holds — if the real run's probe"
-            " disables int16, re-run warm_cache with the data present."
-        )
-        return True
-
-
-def _canonical_batches(cfg, batch_size):
-    """Zero batches with the shapes the loaders collate."""
-    import numpy as np
-
-    clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
-    wave_dtype = np.int16 if _int16_in_effect(cfg) else np.float32
-    multitask = len(cfg.MODEL.NUM_CLASSES) > 1
-
-    def labels():
-        if multitask:
-            lab = {
-                "verb": np.zeros((batch_size,), np.int64),
-                "noun": np.zeros((batch_size,), np.int64),
-            }
-            if not cfg.MODEL.ONLY_ACTION_RECOGNITION:
-                import pandas as pd
-
-                n_attr = len(pd.read_csv(cfg.MODEL.PDDL_ATTRIBUTES))
-                lab["precs"] = np.zeros((batch_size, n_attr), np.float32)
-                lab["posts"] = np.zeros((batch_size, n_attr), np.float32)
-            return lab
-        return {"class_id": np.zeros((batch_size,), np.int64)}
-
-    gru = cfg.MODEL.MODEL_NAME == "AudioSlowFastGRU"
-    batches = []
-    if gru:
-        max_n = cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS
-        if cfg.TPU.GRU_SINGLE_BUCKET:
-            buckets = [max_n]
-        else:
-            buckets, b = [], 1
-            while b < max_n:
-                buckets.append(b)
-                b *= 2
-            buckets.append(max_n)
-        for nb in sorted(set(buckets)):
-            batches.append(
-                {
-                    "waveform": np.zeros((batch_size, nb, clip), wave_dtype),
-                    "n_valid": np.ones((batch_size, nb), np.int32),
-                    "lengths": np.ones((batch_size,), np.int32),
-                    "noun_embedding": np.zeros((batch_size, 512), np.float32),
-                    "labels": labels(),
-                    "index": np.arange(batch_size, dtype=np.int64),
-                }
-            )
-    else:
-        batches.append(
-            {
-                "waveform": np.zeros((batch_size, clip), wave_dtype),
-                "n_valid": np.full((batch_size,), clip, np.int32),
-                "labels": labels(),
-                "index": np.arange(batch_size, dtype=np.int64),
-            }
-        )
-    return batches
+# canonical shapes + int16 probe live in the engine so train(cfg)'s
+# TPU.WARM_COMPILE_ON_START path uses the exact same dispatch keys
+from asf_tpu.engine.warmup import canonical_batches as _canonical_batches  # noqa: E402
 
 
 def main(argv=None):
