@@ -329,6 +329,13 @@ _C.TPU.HOST_WAVEFORM_CACHE_MB = 256
 # items are epoch-independent (the val loader never reshuffles/re-keys).
 # 0 disables; sets larger than the budget fall back to streaming.
 _C.TPU.VAL_DEVICE_CACHE_MB = 1024
+# Keep the TRAIN record segments resident in HBM (MB budget) and assemble
+# every batch ON DEVICE (data/device_store.py): the loader ships int32 clip
+# offsets instead of waveforms, a jitted gather slices the per-epoch random
+# clips out of the mega-buffer (bit-identical to host assembly), and the
+# per-epoch H2D re-transfer disappears. Auto-disabled for GRU chains,
+# host-transformed records, multi-host meshes, or sets over budget.
+_C.TPU.TRAIN_DEVICE_CACHE_MB = 2048
 
 # Hook for downstream users to extend the config tree.
 custom_config.add_custom_config(_C)

@@ -314,6 +314,49 @@ class EpicKitchens:
             "metadata": record.metadata,
         }
 
+    # -- device segment store protocol (data/device_store.py) ---------------
+    def device_store_table(self):
+        """Unique (video, start, end) segments, or None when the on-device
+        gather path cannot reproduce ``__getitem__`` bit-exactly (GRU window
+        chains; any record with a host waveform transformation)."""
+        if self.gru_format:
+            return None
+        if any(
+            getattr(r, "transformation", "none") != "none"
+            for r in self._audio_records
+        ):
+            return None
+        segs = {}
+        for r in self._audio_records:
+            a = int(r.start_audio_sample)
+            segs[(r.untrimmed_video_name, a, a + max(0, int(r.num_audio_samples)))] = None
+        return list(segs)
+
+    def read_segment(self, key) -> np.ndarray:
+        video, a, b = key
+        return self._read_region(video, a, b)
+
+    def get_ref(self, index: int):
+        """The metadata of ``__getitem__`` WITHOUT reading audio: segment key
+        + clip offset + n_valid. Consumes the identical per-item rng stream
+        as ``_get_item_regular`` so the on-device gather of the stored
+        segment yields the bit-identical clip."""
+        rng = item_rng(self.cfg.RNG_SEED, self._epoch, index)
+        record = self._audio_records[index]
+        tsi = -1 if self.mode in ["train", "val", "train+val"] else self._temporal_idx[index]
+        start, n_valid = self._clip_for_record(record, tsi, rng)
+        a = int(record.start_audio_sample)
+        return {
+            "seg_key": (
+                record.untrimmed_video_name, a, a + max(0, int(record.num_audio_samples))
+            ),
+            "clip_off": int(start) - a,
+            "n_valid": np.int32(n_valid),
+            "label": record.label,
+            "index": index,
+            "metadata": record.metadata,
+        }
+
     def _get_item_gru(self, index: int, rng):
         record = self._audio_records[index]
         sr = self.cfg.AUDIO_DATA.SAMPLING_RATE

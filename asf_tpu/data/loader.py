@@ -144,6 +144,10 @@ class AsfLoader:
         self.rank = rank
         self.world_size = world_size
         self.single_bucket = single_bucket
+        # Device segment store (data/device_store.py): when attached, batches
+        # carry int32 clip offsets instead of waveforms and the prefetcher
+        # gathers the audio from HBM — the per-epoch H2D wire disappears.
+        self.device_store = None
         # One pool for the loader's LIFETIME, not per epoch: datasets keep a
         # per-thread h5py handle in threading.local, so fresh threads every
         # epoch would open NUM_WORKERS new HDF5 handles per epoch and leak
@@ -200,10 +204,24 @@ class AsfLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def attach_store(self, store) -> None:
+        """Switch this loader to offset batches resolved by ``store``."""
+        self.device_store = store
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idx = self._indices()
         nb = len(self)
         pool = self._get_pool()
+        if self.device_store is not None:
+            from .device_store import collate_refs
+
+            for b in range(nb):
+                chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(chunk) == 0:
+                    break
+                items = list(pool.map(self.dataset.get_ref, chunk))
+                yield collate_refs(items, self.device_store)
+            return
         for b in range(nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
             if len(chunk) == 0:
@@ -271,7 +289,8 @@ def iter_prefetched(loader, cfg, mesh=None, group: int = 1, lr_fn=None):
 
         sharding = batch_sharding(mesh)
         macro_sharding = macro_batch_sharding(mesh)
-    if depth <= 0 and group <= 1:
+    store = getattr(loader, "device_store", None)
+    if depth <= 0 and group <= 1 and store is None:
         return iter(loader)
     return DevicePrefetcher(
         iter(loader),
@@ -280,6 +299,7 @@ def iter_prefetched(loader, cfg, mesh=None, group: int = 1, lr_fn=None):
         group=group,
         macro_sharding=macro_sharding,
         lr_fn=lr_fn,
+        store=store,
     )
 
 
@@ -298,6 +318,7 @@ class DevicePrefetcher:
         group: int = 1,
         macro_sharding=None,
         lr_fn=None,
+        store=None,
     ):
         import jax
 
@@ -308,6 +329,7 @@ class DevicePrefetcher:
         self.group = max(1, group)
         self.macro_sharding = macro_sharding
         self.lr_fn = lr_fn
+        self.store = store  # DeviceSegmentStore: resolve offset batches
         self._step_idx = 0  # running per-item index feeding lr_fn
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._consume_fns = {}
@@ -362,6 +384,22 @@ class DevicePrefetcher:
         except Exception:
             pass  # never let the warm-path optimisation kill the loader
 
+    def _resolve(self, batch, sharding=None):
+        """Turn an offset batch (``wave_start`` from the device store) into a
+        regular device batch: gather the waveform from the HBM-resident
+        mega-buffer, device_put the (tiny) rest. The emitted batch is
+        indistinguishable from an uploaded one — same keys, same shapes, same
+        dtypes — so the jitted step programs key-match. No-op passthrough for
+        ordinary waveform batches."""
+        if self.store is None or "wave_start" not in batch:
+            return self._put_device(batch, sharding)
+        batch = dict(batch)
+        starts = batch.pop("wave_start")
+        wf = self.store.gather(starts, batch["n_valid"], macro=starts.ndim == 2)
+        dev = self._put_device(batch, sharding)
+        dev["waveform"] = wf
+        return dev
+
     def _put_device(self, batch, sharding=None):
         jax = self._jax
         sharding = sharding if sharding is not None else self.sharding
@@ -409,12 +447,12 @@ class DevicePrefetcher:
                     if isinstance(grp[0][k], dict)
                     else np.stack([b[k] for b in grp])
                 )
-            dev = self._put_device(macro, self.macro_sharding)
+            dev = self._resolve(macro, self.macro_sharding)
             self._force_transfer(dev)
             self._qput(("macro", dev, self._lr_dev(len(grp))))
         else:  # remainder: epoch tail or a bucket-shape change
             for b in grp:
-                dev = self._put_device(b)
+                dev = self._resolve(b)
                 self._force_transfer(dev)
                 self._qput(("single", dev, self._lr_dev(1)))
 
@@ -422,7 +460,7 @@ class DevicePrefetcher:
         try:
             if self.group <= 1:
                 for batch in self.it:
-                    dev = self._put_device(batch)
+                    dev = self._resolve(batch)
                     self._force_transfer(dev)
                     self._qput(("single", dev, self._lr_dev(1)))
             else:

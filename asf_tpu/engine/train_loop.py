@@ -326,6 +326,21 @@ def train(cfg):
     example.pop("metadata", None)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
+    # HBM-resident train segments (attach AFTER the example batch above —
+    # init_state needs one real waveform batch): later epochs assemble
+    # batches on device from int32 offsets instead of re-paying the H2D
+    # wire (data/device_store.py; auto-disabled when unsupported).
+    if int(getattr(cfg.TPU, "TRAIN_DEVICE_CACHE_MB", 0)) > 0:
+        from asf_tpu.data.device_store import DeviceSegmentStore
+
+        _store = DeviceSegmentStore.try_build(
+            train_loader.dataset,
+            int(cfg.TPU.TRAIN_DEVICE_CACHE_MB) << 20,
+            mesh,
+        )
+        if _store is not None:
+            train_loader.attach_store(_store)
+
     # params template first (for optimizer masks), then the full state
     lazy = lazy_optimizer(cfg)
     state = init_state(cfg, model, lazy, rng, example)

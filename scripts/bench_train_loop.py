@@ -173,6 +173,22 @@ def main():
     example = next(iter(loader))
     example.pop("metadata", None)
 
+    # Mirror train(cfg): HBM-resident segments + on-device batch assembly,
+    # attached AFTER the example batch (init_state needs a real waveform).
+    # Epic HDF5 only; the wav-backed VGG run streams. ASF_BENCH_DEVSTORE=0
+    # forces streaming for an A/B.
+    if int(os.environ.get("ASF_BENCH_DEVSTORE", "1")) and int(
+        getattr(cfg.TPU, "TRAIN_DEVICE_CACHE_MB", 0)
+    ) > 0:
+        from asf_tpu.data.device_store import DeviceSegmentStore
+
+        store = DeviceSegmentStore.try_build(
+            loader.dataset, int(cfg.TPU.TRAIN_DEVICE_CACHE_MB) << 20, mesh
+        )
+        if store is not None:
+            loader.attach_store(store)
+            print(f"device segment store: {store.nbytes / 2**20:.1f} MB resident")
+
     from asf_tpu.engine.steps import lazy_optimizer
 
     lazy = lazy_optimizer(cfg)
