@@ -69,13 +69,18 @@ class DeviceSegmentStore:
     def try_build(cls, dataset, budget_bytes: int, mesh=None) -> Optional["DeviceSegmentStore"]:
         if budget_bytes <= 0:
             return None
-        table = getattr(dataset, "device_store_table", None)
-        table = table() if callable(table) else None
+        clip_samples = int(getattr(dataset, "clip_samples", 0))
+        itemsize = 2 if getattr(dataset, "int16", False) else 4
+        budget_samples = budget_bytes // itemsize
+        table_fn = getattr(dataset, "device_store_table", None)
+        table = (
+            table_fn(budget_samples=budget_samples) if callable(table_fn) else None
+        )
         if table is None:
             logger.info(
                 "Device segment store disabled: %s does not support the "
-                "ref/gather path (GRU chains or host waveform transforms)",
-                type(dataset).__name__,
+                "ref/gather path here (GRU chains, host waveform transforms, "
+                "or the set exceeds the budget)", type(dataset).__name__,
             )
             return None
         if mesh is not None:
@@ -87,9 +92,7 @@ class DeviceSegmentStore:
                 )
                 return None
 
-        clip_samples = int(dataset.clip_samples)
-        itemsize = 2 if getattr(dataset, "int16", False) else 4
-        lengths = [max(0, int(b) - int(a)) for (_v, a, b) in table]
+        lengths = [max(0, int(n)) for (_k, n) in table]
         total = sum(lengths) + clip_samples  # trailing pad: slices never clamp
         if total * itemsize > budget_bytes:
             logger.warning(
@@ -105,12 +108,16 @@ class DeviceSegmentStore:
         dtype = np.int16 if itemsize == 2 else np.float32
         mega = np.zeros((total,), dtype)
         bases, off = {}, 0
-        for key, n in zip(table, lengths):
+        for (key, _n), n in zip(table, lengths):
             if n > 0:
                 seg = dataset.read_segment(key)
-                assert seg.shape == (n,) and seg.dtype == dtype, (
-                    key, seg.shape, seg.dtype,
-                )
+                if seg.shape != (n,) or seg.dtype != dtype:
+                    logger.warning(
+                        "Device segment store disabled: segment %s is "
+                        "%s/%s, expected (%d,)/%s", key, seg.shape, seg.dtype,
+                        n, dtype,
+                    )
+                    return None
                 mega[off : off + n] = seg
             bases[key] = off
             off += n

@@ -315,10 +315,10 @@ class EpicKitchens:
         }
 
     # -- device segment store protocol (data/device_store.py) ---------------
-    def device_store_table(self):
-        """Unique (video, start, end) segments, or None when the on-device
-        gather path cannot reproduce ``__getitem__`` bit-exactly (GRU window
-        chains; any record with a host waveform transformation)."""
+    def device_store_table(self, budget_samples=None):
+        """Unique ((video, start, end), n_samples) segments, or None when the
+        on-device gather path cannot reproduce ``__getitem__`` bit-exactly
+        (GRU window chains; any record with a host waveform transformation)."""
         if self.gru_format:
             return None
         if any(
@@ -329,8 +329,9 @@ class EpicKitchens:
         segs = {}
         for r in self._audio_records:
             a = int(r.start_audio_sample)
-            segs[(r.untrimmed_video_name, a, a + max(0, int(r.num_audio_samples)))] = None
-        return list(segs)
+            b = a + max(0, int(r.num_audio_samples))
+            segs[(r.untrimmed_video_name, a, b)] = b - a
+        return list(segs.items())
 
     def read_segment(self, key) -> np.ndarray:
         video, a, b = key

@@ -111,6 +111,82 @@ class Vggsound:
                 self.int16 = False
                 return
 
+    # -- device segment store protocol (data/device_store.py) ---------------
+    def _wav_name(self, record) -> str:
+        return record["video"][:-4] + ".wav"
+
+    def _file_len(self, name: str) -> int:
+        """Frame count from the wav header (mmap read, no data touched);
+        channel-mean in load_wav preserves the frame count."""
+        cache = getattr(self, "_flen_cache", None)
+        if cache is None:
+            cache = self._flen_cache = {}
+        n = cache.get(name)
+        if n is None:
+            from scipy.io import wavfile
+
+            _, data = wavfile.read(
+                os.path.join(self.cfg.VGGSOUND.AUDIO_DATA_DIR, name), mmap=True
+            )
+            n = cache[name] = int(data.shape[0])
+        return n
+
+    def device_store_table(self, budget_samples=None):
+        """Unique (wav name, n_samples) entries; early-aborts (None) once the
+        cumulative sample count exceeds ``budget_samples`` so huge sets don't
+        pay a full header sweep before the budget check rejects them anyway."""
+        out, total = {}, 0
+        for rec in self._audio_records:
+            name = self._wav_name(rec)
+            if name in out:
+                continue
+            try:
+                n = self._file_len(name)
+            except (FileNotFoundError, ValueError):
+                return None  # __getitem__ will surface the real IO error
+            out[name] = n
+            total += n
+            if budget_samples is not None and total > budget_samples:
+                logger.info(
+                    "Device segment store: Vggsound %s exceeds the sample "
+                    "budget after %d files — streaming", self.mode, len(out),
+                )
+                return None
+        return list(out.items())
+
+    def read_segment(self, name: str) -> np.ndarray:
+        samples, _sr = load_wav(
+            os.path.join(self.cfg.VGGSOUND.AUDIO_DATA_DIR, name),
+            keep_int16=self.int16,
+        )
+        return samples
+
+    def get_ref(self, index: int):
+        """``__getitem__``'s clip placement without decoding audio: same rng
+        derivation, same short-file clamp — the store gather of the decoded
+        file reproduces the item bit-exactly."""
+        record = self._audio_records[index]
+        tsi = -1 if self.mode in ["train", "val"] else self._temporal_idx[index]
+        name = self._wav_name(record)
+        n_samples = self._file_len(name)
+        if n_samples < self.clip_size:
+            off, n_valid = 0, min(n_samples, self.clip_samples)
+        else:
+            start, end = get_start_end_idx(
+                n_samples, self.clip_size, tsi, self.cfg.TEST.NUM_ENSEMBLE_VIEWS,
+                rng=item_rng(self.cfg.RNG_SEED, self._epoch, index),
+            )
+            off = int(start)
+            n_valid = min(int(end) - int(start), self.clip_samples)
+        return {
+            "seg_key": name,
+            "clip_off": off,
+            "n_valid": np.int32(n_valid),
+            "label": {"class_id": record["class_id"]},
+            "index": index,
+            "metadata": {},
+        }
+
     def __getitem__(self, index: int):
         record = self._audio_records[index]
         tsi = -1 if self.mode in ["train", "val"] else self._temporal_idx[index]

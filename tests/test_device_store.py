@@ -110,6 +110,44 @@ def test_store_batches_bit_identical(tmp_path, int16):
         )
 
 
+@pytest.mark.parametrize("int16", [False, True], ids=["f32", "int16"])
+def test_vgg_store_batches_bit_identical(tmp_path, int16):
+    """Vggsound (wav-file segments): offset batches reproduce the host
+    collation bit-for-bit on both wire dtypes."""
+    from fixtures import make_vgg_fixture
+    from asf_tpu.config import get_cfg
+    from asf_tpu.data.device_store import DeviceSegmentStore
+    from asf_tpu.data.loader import DevicePrefetcher
+    from asf_tpu.data.vggsound import Vggsound
+
+    root = str(tmp_path)
+    audio_dir, _pkl = make_vgg_fixture(root)
+    cfg = get_cfg()
+    cfg.VGGSOUND.AUDIO_DATA_DIR = audio_dir
+    cfg.VGGSOUND.ANNOTATIONS_DIR = root
+    cfg.VGGSOUND.TRAIN_LIST = "test.pkl"
+    cfg.TPU.INT16_TRANSFER = int16
+    ds = Vggsound(cfg, "train")
+    assert ds.int16 == int16  # the int16 fixture wavs must take the wire
+
+    store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None)
+    assert store is not None and store.dtype == (np.int16 if int16 else np.float32)
+    plain = _loader(ds, cfg)
+    stored = _loader(ds, cfg, store)
+    for epoch in (0, 2):
+        plain.set_epoch(epoch)
+        stored.set_epoch(epoch)
+        want = list(plain)
+        got = list(DevicePrefetcher(iter(stored), depth=2, store=store))
+        assert len(got) == len(want)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g["waveform"]), w["waveform"])
+            np.testing.assert_array_equal(np.asarray(g["n_valid"]), w["n_valid"])
+            np.testing.assert_array_equal(
+                np.asarray(g["labels"]["class_id"]), w["labels"]["class_id"]
+            )
+
+
 def test_store_guards(tmp_path):
     from asf_tpu.data.device_store import DeviceSegmentStore
 
