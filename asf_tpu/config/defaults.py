@@ -332,10 +332,15 @@ _C.TPU.VAL_DEVICE_CACHE_MB = 1024
 # Keep the TRAIN record segments resident in HBM (MB budget) and assemble
 # every batch ON DEVICE (data/device_store.py): the loader ships int32 clip
 # offsets instead of waveforms, a jitted gather slices the per-epoch random
-# clips out of the mega-buffer (bit-identical to host assembly), and the
-# per-epoch H2D re-transfer disappears. Auto-disabled for GRU chains,
-# host-transformed records, multi-host meshes, or sets over budget.
+# clips out of the mega-buffer (bit-identical to host assembly; GRU chains
+# gather (B, Nb) window grids from stored chain regions), and the per-epoch
+# H2D re-transfer disappears. Auto-disabled for host-transformed records,
+# multi-host meshes, or sets over budget.
 _C.TPU.TRAIN_DEVICE_CACHE_MB = 2048
+# Same HBM segment store for test(cfg): every NUM_ENSEMBLE_VIEWS clip of a
+# record gathers from ONE stored segment, so the test H2D wire drops by the
+# view count (and to zero after the store build). Same auto-disable guards.
+_C.TPU.TEST_DEVICE_CACHE_MB = 2048
 
 # Hook for downstream users to extend the config tree.
 custom_config.add_custom_config(_C)

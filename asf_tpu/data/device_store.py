@@ -18,12 +18,18 @@ train step's input signature is UNCHANGED (the gather materialises the same
 (B, S) / (K, B, S) waveform array the H2D upload used to), so all warmed /
 cached step programs still key-match.
 
+GRU chain items gather as (B, Nb) offset grids into stored chain regions
+(one dynamic_slice per window); regular items as (B,) clip offsets. Test
+mode gathers every NUM_ENSEMBLE_VIEWS clip from ONE stored segment.
+
 Scope guards (``try_build`` returns None and the loop streams as before):
   * datasets must offer the ref protocol (``device_store_table`` /
-    ``get_ref`` / ``read_segment`` — EpicKitchens family, non-GRU modes);
+    ``get_ref`` / ``read_segment`` — EpicKitchens family incl. GRU,
+    Vggsound);
   * any record with a host-side waveform transformation disables the store
     (augmentation must see float samples on the host);
-  * total segment bytes must fit ``TPU.TRAIN_DEVICE_CACHE_MB``;
+  * total segment bytes must fit the MB budget
+    (``TPU.TRAIN_DEVICE_CACHE_MB`` / ``TPU.TEST_DEVICE_CACHE_MB``);
   * multi-host meshes stream (per-process assembly of gathered global
     arrays is not implemented).
 """
@@ -55,14 +61,16 @@ class DeviceSegmentStore:
         self._bases = bases
         self.mesh = mesh
         self.nbytes = int(mega_np.nbytes)
+        # Start of the trailing all-zero pad: a window gathered from here
+        # (with n_valid=1) reproduces collate's all-zero padded GRU rows.
+        self.pad_offset = int(mega_np.shape[0] - clip_samples)
         if mesh is not None:
             from asf_tpu.parallel.mesh import replicated
 
             self._mega = jax.device_put(mega_np, replicated(mesh))
         else:
             self._mega = jax.device_put(mega_np)
-        self._gather_single = None
-        self._gather_macro = None
+        self._gathers = {}  # (starts_ndim, macro) -> jitted gather
 
     # -- build ---------------------------------------------------------------
     @classmethod
@@ -79,8 +87,8 @@ class DeviceSegmentStore:
         if table is None:
             logger.info(
                 "Device segment store disabled: %s does not support the "
-                "ref/gather path here (GRU chains, host waveform transforms, "
-                "or the set exceeds the budget)", type(dataset).__name__,
+                "ref/gather path here (host waveform transforms, or the set "
+                "exceeds the budget)", type(dataset).__name__,
             )
             return None
         if mesh is not None:
@@ -133,7 +141,7 @@ class DeviceSegmentStore:
     def base(self, seg_key) -> int:
         return self._bases[seg_key]
 
-    def _make_gather(self, macro: bool):
+    def _make_gather(self, ndim: int, macro: bool):
         import jax
         import jax.numpy as jnp
 
@@ -145,8 +153,8 @@ class DeviceSegmentStore:
             return jnp.where(jnp.asarray(iota) < nv, w, jnp.zeros((), w.dtype))
 
         def fn(mega, starts, n_valid):
-            f = jax.vmap(one, in_axes=(None, 0, 0))
-            if macro:
+            f = one
+            for _ in range(ndim):  # one vmap per leading offset axis
                 f = jax.vmap(f, in_axes=(None, 0, 0))
             return f(mega, starts, n_valid)
 
@@ -158,34 +166,92 @@ class DeviceSegmentStore:
         return jax.jit(fn)
 
     def gather(self, starts: np.ndarray, n_valid: np.ndarray, macro: bool):
-        """(B,)/(K,B) int32 clip offsets -> (B,S)/(K,B,S) device waveforms.
+        """int32 clip offsets -> device waveforms, one trailing (S,) axis per
+        offset: (B,)->(B,S) regular, (B,Nb)->(B,Nb,S) GRU chains, plus a
+        leading (K,) axis for stacked macro dispatches (``macro=True`` picks
+        the macro batch sharding, which shards axis 1 instead of axis 0).
 
         Bit-identical to the host assembly: samples past ``n_valid`` are
         zeroed exactly as the host's zero-initialised clip buffers were.
         """
-        if macro:
-            if self._gather_macro is None:
-                self._gather_macro = self._make_gather(True)
-            g = self._gather_macro
-        else:
-            if self._gather_single is None:
-                self._gather_single = self._make_gather(False)
-            g = self._gather_single
-        return g(
-            self._mega,
-            np.asarray(starts, np.int32),
-            np.asarray(n_valid, np.int32),
-        )
+        starts = np.asarray(starts, np.int32)
+        key = (starts.ndim, macro)
+        g = self._gathers.get(key)
+        if g is None:
+            g = self._gathers[key] = self._make_gather(*key)
+        return g(self._mega, starts, np.asarray(n_valid, np.int32))
 
 
-def collate_refs(items, store: DeviceSegmentStore):
+def resolve_offsets(batch, store: Optional[DeviceSegmentStore], put):
+    """Turn an offset batch (``wave_start``) into a regular device batch.
+
+    Gathers the waveform from the HBM-resident mega-buffer and runs ``put``
+    (shard_batch / put_with / device_put closure) over the tiny rest. The
+    result is indistinguishable from an uploaded batch — same keys, shapes
+    and dtypes — so jitted step programs key-match. Passthrough (``put``
+    only) for ordinary waveform batches or ``store=None``. Shared by
+    DevicePrefetcher._resolve, test_loop.perform_test and eval dispatch.
+    """
+    if store is None or "wave_start" not in batch:
+        return put(batch)
+    batch = dict(batch)
+    starts = np.asarray(batch.pop("wave_start"))
+    # offsets are (B,) regular / (B, Nb) GRU chains; one MORE axis means a
+    # stacked (K, ...) macro dispatch, which takes the macro batch sharding
+    macro = starts.ndim > (2 if "lengths" in batch else 1)
+    wf = store.gather(starts, batch["n_valid"], macro=macro)
+    dev = put(batch)
+    dev["waveform"] = wf
+    return dev
+
+
+def collate_refs(items, store: DeviceSegmentStore, max_windows=None,
+                 single_bucket: bool = False):
     """Collate ref items (``dataset.get_ref``) into an offset batch.
 
     Mirrors ``loader.collate`` for every non-waveform field; the waveform is
     represented by ``wave_start`` (absolute int32 offsets into the store's
     mega-buffer), resolved to a real device array by the prefetcher's
-    ``store.gather`` call.
+    ``store.gather`` call. GRU chain refs (``window_offs``) collate to
+    (B, Nb) offset grids with loader.collate's window-count bucketing;
+    bucket-padding windows (and the off<0 sentinel for degenerate empty
+    chunks) point at the mega-buffer's trailing zero pad with n_valid=1, so
+    the gather reproduces collate's all-zero padded rows bit-exactly.
     """
+    first = items[0]
+    if "window_offs" in first:  # GRU chain refs
+        from .loader import bucket_windows
+
+        n_max = max(int(it["length"]) for it in items)
+        nb = bucket_windows(n_max, max_windows or n_max)
+        if single_bucket and max_windows:
+            nb = max_windows
+        pad = store.pad_offset
+        starts = np.full((len(items), nb), pad, np.int32)
+        n_valid = np.ones((len(items), nb), np.int32)
+        lengths = np.zeros((len(items),), np.int32)
+        for i, it in enumerate(items):
+            n = min(int(it["length"]), nb)
+            offs = np.asarray(it["window_offs"][:n], np.int64)
+            base = store.base(it["seg_key"])
+            starts[i, :n] = np.where(offs < 0, pad, base + offs).astype(np.int32)
+            n_valid[i, :n] = it["n_valid"][:n]
+            lengths[i] = n
+        out = {"wave_start": starts, "n_valid": n_valid, "lengths": lengths}
+        if "noun_embedding" in first:
+            out["noun_embedding"] = np.stack(
+                [it["noun_embedding"] for it in items]
+            )
+        out["labels"] = {
+            k: np.asarray(np.stack([np.asarray(it["label"][k]) for it in items]))
+            for k in first["label"].keys()
+        }
+        out["index"] = np.asarray([it["index"] for it in items], np.int64)
+        out["metadata"] = {
+            k: [it["metadata"][k] for it in items]
+            for k in first["metadata"].keys()
+        }
+        return out
     out = {
         "wave_start": np.asarray(
             [store.base(it["seg_key"]) + int(it["clip_off"]) for it in items],
@@ -193,7 +259,6 @@ def collate_refs(items, store: DeviceSegmentStore):
         ),
         "n_valid": np.asarray([it["n_valid"] for it in items], np.int32),
     }
-    first = items[0]
     out["labels"] = {
         k: np.asarray(np.stack([np.asarray(it["label"][k]) for it in items]))
         for k in first["label"].keys()

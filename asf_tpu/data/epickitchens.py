@@ -315,12 +315,25 @@ class EpicKitchens:
         }
 
     # -- device segment store protocol (data/device_store.py) ---------------
+    def _gru_region(self, record) -> tuple[int, int, int]:
+        """(n_windows, seg_start, region_end) of ``_get_item_gru``'s one
+        covering region read — shared by the item path's store refs."""
+        sr = self.cfg.AUDIO_DATA.SAMPLING_RATE
+        n_windows = min(
+            record.num_spectrograms, self.cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS
+        )
+        seg_start = record.start_audio_sample
+        if record.num_audio_samples < self.clip_size:
+            region_end = max(seg_start, record.end_audio_sample)
+        else:
+            region_end = seg_start + (n_windows - 1) * sr + self.clip_size
+        return n_windows, int(seg_start), int(region_end)
+
     def device_store_table(self, budget_samples=None):
         """Unique ((video, start, end), n_samples) segments, or None when the
         on-device gather path cannot reproduce ``__getitem__`` bit-exactly
-        (GRU window chains; any record with a host waveform transformation)."""
-        if self.gru_format:
-            return None
+        (any record with a host waveform transformation). GRU chains store
+        the covering chain region; windows gather as offsets into it."""
         if any(
             getattr(r, "transformation", "none") != "none"
             for r in self._audio_records
@@ -328,8 +341,11 @@ class EpicKitchens:
             return None
         segs = {}
         for r in self._audio_records:
-            a = int(r.start_audio_sample)
-            b = a + max(0, int(r.num_audio_samples))
+            if self.gru_format:
+                _nw, a, b = self._gru_region(r)
+            else:
+                a = int(r.start_audio_sample)
+                b = a + max(0, int(r.num_audio_samples))
             segs[(r.untrimmed_video_name, a, b)] = b - a
         return list(segs.items())
 
@@ -342,6 +358,8 @@ class EpicKitchens:
         + clip offset + n_valid. Consumes the identical per-item rng stream
         as ``_get_item_regular`` so the on-device gather of the stored
         segment yields the bit-identical clip."""
+        if self.gru_format:
+            return self._get_ref_gru(index)
         rng = item_rng(self.cfg.RNG_SEED, self._epoch, index)
         record = self._audio_records[index]
         tsi = -1 if self.mode in ["train", "val", "train+val"] else self._temporal_idx[index]
@@ -357,6 +375,50 @@ class EpicKitchens:
             "index": index,
             "metadata": record.metadata,
         }
+
+    def _get_ref_gru(self, index: int):
+        """``_get_item_gru``'s window placement without reading audio:
+        per-window offsets INTO the stored chain region + the same
+        in-video n_valid rule. ``window_offs < 0`` marks degenerate empty
+        chunks (stop <= start annotations), which the host path leaves as
+        all-zero rows with n_valid=1 — collate_refs points them at the
+        mega-buffer's zero pad so the gather reproduces that bit-exactly."""
+        record = self._audio_records[index]
+        sr = self.cfg.AUDIO_DATA.SAMPLING_RATE
+        n_windows, seg_start, region_end = self._gru_region(record)
+        vid_len = self._video_len(record.untrimmed_video_name)
+        short = record.num_audio_samples < self.clip_size
+
+        offs = np.zeros((n_windows,), np.int32)
+        n_valid = np.zeros((n_windows,), np.int32)
+        for i in range(n_windows):
+            if short:
+                off, chunk_len = 0, max(0, int(record.num_audio_samples))
+            else:
+                off, chunk_len = i * sr, self.clip_samples
+            if chunk_len == 0:
+                offs[i], n_valid[i] = -1, 1  # zero-pad sentinel
+                continue
+            start_i = seg_start + off
+            in_video = max(0, min(start_i + chunk_len, vid_len) - start_i)
+            offs[i] = off
+            n_valid[i] = max(1, min(chunk_len, in_video))
+
+        ref = {
+            "seg_key": (record.untrimmed_video_name, seg_start, region_end),
+            "window_offs": offs,
+            "n_valid": n_valid,
+            "length": np.int32(n_windows),
+            "label": record.label,
+            "index": index,
+            "metadata": record.metadata,
+        }
+        if isinstance(record, EpicKitchensAudioRecordGRU):
+            emb = record.noun_embedding
+            ref["noun_embedding"] = (
+                emb.astype(np.float32) if emb.size else np.zeros(512, np.float32)
+            )
+        return ref
 
     def _get_item_gru(self, index: int, rng):
         record = self._audio_records[index]

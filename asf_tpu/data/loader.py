@@ -220,7 +220,10 @@ class AsfLoader:
                 if len(chunk) == 0:
                     break
                 items = list(pool.map(self.dataset.get_ref, chunk))
-                yield collate_refs(items, self.device_store)
+                yield collate_refs(
+                    items, self.device_store,
+                    self.max_windows, self.single_bucket,
+                )
             return
         for b in range(nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
@@ -385,20 +388,13 @@ class DevicePrefetcher:
             pass  # never let the warm-path optimisation kill the loader
 
     def _resolve(self, batch, sharding=None):
-        """Turn an offset batch (``wave_start`` from the device store) into a
-        regular device batch: gather the waveform from the HBM-resident
-        mega-buffer, device_put the (tiny) rest. The emitted batch is
-        indistinguishable from an uploaded one — same keys, same shapes, same
-        dtypes — so the jitted step programs key-match. No-op passthrough for
-        ordinary waveform batches."""
-        if self.store is None or "wave_start" not in batch:
-            return self._put_device(batch, sharding)
-        batch = dict(batch)
-        starts = batch.pop("wave_start")
-        wf = self.store.gather(starts, batch["n_valid"], macro=starts.ndim == 2)
-        dev = self._put_device(batch, sharding)
-        dev["waveform"] = wf
-        return dev
+        """Offset batch (``wave_start`` from the device store) -> regular
+        device batch (device_store.resolve_offsets); passthrough otherwise."""
+        from .device_store import resolve_offsets
+
+        return resolve_offsets(
+            batch, self.store, lambda b: self._put_device(b, sharding)
+        )
 
     def _put_device(self, batch, sharding=None):
         jax = self._jax

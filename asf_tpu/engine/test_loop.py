@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from asf_tpu.checkpoint import manager as cu
+from asf_tpu.data.device_store import resolve_offsets
 from asf_tpu.data.loader import batch_signature, construct_loader
 from asf_tpu.models import build_model
 from asf_tpu.parallel.mesh import check_batch_divisibility, make_mesh, pad_batch_to, param_shardings, replicate_tree, shard_batch
@@ -80,6 +81,8 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
 
     cur_iter = 0
 
+    store = getattr(test_loader, "device_store", None)
+
     def dispatch(grp):
         nonlocal cur_iter
         k = len(grp)
@@ -96,9 +99,13 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
             for i, (_, nr, _) in enumerate(grp):
                 masks[i, :nr] = 1.0
             ms = macro_batch_sharding(mesh)
-            outs, _ = multi_eval(state, put_with(macro, ms), put_with(masks, ms))
+            dev = resolve_offsets(macro, store, lambda b: put_with(b, ms))
+            outs, _ = multi_eval(state, dev, put_with(masks, ms))
         else:
-            outs = eval_step(state, shard_batch(grp[0][0], mesh))
+            dev = resolve_offsets(
+                grp[0][0], store, lambda b: shard_batch(b, mesh)
+            )
+            outs = eval_step(state, dev)
         pending.append((cur_iter, outs, metas))
         cur_iter += k
         if len(pending) >= 2:
@@ -179,6 +186,21 @@ def test(cfg):
     example = next(iter(test_loader))
     example.pop("metadata", None)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    # HBM-resident test segments (attach AFTER the example batch — init_state
+    # needs one real waveform batch): every ensemble view of a record gathers
+    # from ONE stored segment, so the test H2D wire drops to the unique
+    # segment bytes paid once at build (data/device_store.py).
+    if int(getattr(cfg.TPU, "TEST_DEVICE_CACHE_MB", 0)) > 0:
+        from asf_tpu.data.device_store import DeviceSegmentStore
+
+        _store = DeviceSegmentStore.try_build(
+            test_loader.dataset,
+            int(cfg.TPU.TEST_DEVICE_CACHE_MB) << 20,
+            mesh,
+        )
+        if _store is not None:
+            test_loader.attach_store(_store)
 
     state = init_state(cfg, model, lazy_optimizer(cfg), rng, example)
     state = TrainState(

@@ -148,20 +148,150 @@ def test_vgg_store_batches_bit_identical(tmp_path, int16):
             )
 
 
+def test_test_mode_store_resolves_bit_identical(tmp_path):
+    """test(cfg) path (engine/test_loop.py): offset batches resolved via
+    resolve_offsets — through pad_batch_to's edge padding, on single AND
+    stacked macro dispatch inputs — must reproduce the host-collated test
+    batches bit-for-bit, and ensemble views must share stored segments."""
+    import jax.numpy as jnp
+
+    from asf_tpu.data.device_store import DeviceSegmentStore, resolve_offsets
+    from asf_tpu.data.epickitchens import EpicKitchens
+    from asf_tpu.engine.eval_loop import _stack_batches
+    from asf_tpu.parallel.mesh import pad_batch_to
+
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = tiny_cfg(root)
+    cfg.TPU.HOST_WAVEFORM_CACHE_MB = 0
+    ds = EpicKitchens(cfg, "test")
+    assert ds._num_clips == 2 and len(ds) % 2 == 0  # views duplicate records
+
+    store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None)
+    assert store is not None
+    # dedup across ensemble views: one segment per unique record, not per clip
+    assert len(store._bases) == len(ds) // ds._num_clips
+
+    from asf_tpu.data.loader import AsfLoader
+
+    def batches(store_=None):
+        ld = AsfLoader(  # test-loader semantics: no shuffle, keep the tail
+            ds, batch_size=5, shuffle=False, drop_last=False,
+            num_workers=2, seed=cfg.RNG_SEED,
+        )
+        if store_ is not None:
+            ld.attach_store(store_)
+        out = []
+        for b in ld:
+            b, n_real = pad_batch_to(b, 5)  # 12 items -> 5, 5, ragged 2
+            b.pop("metadata", None)
+            out.append((b, n_real))
+        return out
+
+    plain = batches()
+    refs = batches(store)
+    assert len(plain) == len(refs) == 3 and plain[-1][1] == 2  # padded tail
+
+    put = lambda b: jax.tree.map(jnp.asarray, b)  # noqa: E731
+
+    def check(got, want):
+        np.testing.assert_array_equal(np.asarray(got["waveform"]), want["waveform"])
+        np.testing.assert_array_equal(np.asarray(got["n_valid"]), want["n_valid"])
+        np.testing.assert_array_equal(np.asarray(got["index"]), want["index"])
+        for k in want["labels"]:
+            np.testing.assert_array_equal(
+                np.asarray(got["labels"][k]), want["labels"][k]
+            )
+
+    # single dispatches (incl. the edge-padded tail)
+    for (rb, _), (pb, _) in zip(refs, plain):
+        check(resolve_offsets(dict(rb), store, put), pb)
+    # macro dispatch: K=2 stacked, resolved with a 2-D starts gather
+    got = resolve_offsets(_stack_batches([dict(refs[0][0]), dict(refs[1][0])]), store, put)
+    want = _stack_batches([plain[0][0], plain[1][0]])
+    check(got, want)
+
+
 def test_store_guards(tmp_path):
     from asf_tpu.data.device_store import DeviceSegmentStore
 
     ds, _cfg = _dataset(tmp_path / "a")
     # budget too small -> streams
     assert DeviceSegmentStore.try_build(ds, 1024, mesh=None) is None
-    # GRU chains -> unsupported
-    gds, _ = _dataset(tmp_path / "b", gru=True)
-    assert gds.device_store_table() is None
-    assert DeviceSegmentStore.try_build(gds, 64 << 20, mesh=None) is None
     # host waveform transformations -> unsupported
     tds, _ = _dataset(tmp_path / "c")
     tds._audio_records[0]._series["transformation"] = "gaussian_noise"
     assert tds.device_store_table() is None
+
+
+@pytest.mark.parametrize("int16", [False, True], ids=["f32", "int16"])
+def test_gru_store_batches_bit_identical(tmp_path, int16):
+    """GRU chains: (B, Nb) window-grid gathers from stored chain regions must
+    reproduce the host-collated chain batches bit-for-bit — including the
+    window-count bucketing, the bucket-padding all-zero rows (n_valid=1), the
+    in-video n_valid rule, and noun embeddings."""
+    from asf_tpu.data.device_store import DeviceSegmentStore
+    from asf_tpu.data.loader import DevicePrefetcher
+
+    ds, cfg = _dataset(tmp_path, int16=int16, gru=True)
+    assert ds.int16 == int16
+    store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None)
+    assert store is not None and store.dtype == (np.int16 if int16 else np.float32)
+
+    def loader(store_=None, single_bucket=False):
+        from asf_tpu.data.loader import AsfLoader
+
+        ld = AsfLoader(
+            ds, batch_size=2, shuffle=True, drop_last=True, num_workers=2,
+            seed=cfg.RNG_SEED,
+            max_windows=cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS,
+            single_bucket=single_bucket,
+        )
+        if store_ is not None:
+            ld.attach_store(store_)
+        return ld
+
+    def check(g, w):
+        assert np.asarray(g["waveform"]).shape == w["waveform"].shape
+        np.testing.assert_array_equal(np.asarray(g["waveform"]), w["waveform"])
+        np.testing.assert_array_equal(np.asarray(g["n_valid"]), w["n_valid"])
+        np.testing.assert_array_equal(np.asarray(g["lengths"]), w["lengths"])
+        if "noun_embedding" in w:
+            np.testing.assert_array_equal(
+                np.asarray(g["noun_embedding"]), w["noun_embedding"]
+            )
+        for k in w["labels"]:
+            np.testing.assert_array_equal(
+                np.asarray(g["labels"][k]), w["labels"][k]
+            )
+
+    # per-batch bucketing (exercises varying Nb), single dispatches
+    plain, stored = loader(), loader(store)
+    for epoch in (0, 1):
+        plain.set_epoch(epoch)
+        stored.set_epoch(epoch)
+        want = list(plain)
+        got = list(DevicePrefetcher(iter(stored), depth=2, store=store))
+        assert len(got) == len(want)
+        for w, g in zip(want, got):
+            check(g, w)
+
+    # single-bucket + group=2: shape-uniform batches stack into a macro
+    # dispatch — the (K, B, Nb) starts gather (3 vmap levels)
+    plain = loader(single_bucket=True)
+    stored = loader(store, single_bucket=True)
+    plain.set_epoch(0)
+    stored.set_epoch(0)
+    want = list(plain)  # 3 batches of 2
+    got = list(DevicePrefetcher(iter(stored), depth=2, group=2, store=store))
+    assert [k for k, _b, _lr in got] == ["macro", "single"]
+    (_, macro, _), (_, single, _) = got
+    for j in range(2):
+        check({k: (
+            {kk: np.asarray(vv)[j] for kk, vv in v.items()}
+            if isinstance(v, dict) else np.asarray(v)[j]
+        ) for k, v in macro.items()}, want[j])
+    check(single, want[2])
 
 
 def test_train_epoch_with_store_matches_streaming(tmp_path):
