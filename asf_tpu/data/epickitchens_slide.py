@@ -137,6 +137,50 @@ class EpicKitchensSlide(EpicKitchens):
             nb_annotations,
         )
 
+    # -- device segment store protocol: whole-video segments -----------------
+    # Whole-video slide windows TILE each video with WIN/HOP overlap, so the
+    # parent's per-record segments would store every video ~WIN/HOP times.
+    # Store each video ONCE instead, extended by the per-video max window
+    # overrun (zero-padded by _read_region, so gathers past the audio end
+    # reproduce the host path's zero-pad bit-exactly — never the next
+    # segment's bytes). Action-bounds / per-instance modes keep the parent's
+    # per-record segments (whole videos could dwarf sparse annotations).
+    def _whole_video_mode(self) -> bool:
+        s = self.cfg.TEST.SLIDE
+        return not s.PER_ACTION_INSTANCE and not s.INSIDE_ACTION_BOUNDS
+
+    def _video_seg_ends(self) -> dict:
+        ends = getattr(self, "_seg_ends_cache", None)
+        if ends is None:
+            ends = {}
+            for r in self._audio_records:
+                v = r.untrimmed_video_name
+                reach = max(
+                    int(r.start_audio_sample) + self.clip_samples,
+                    int(r.end_audio_sample),
+                )
+                ends[v] = max(ends.get(v, 0), self._video_len(v), reach)
+            self._seg_ends_cache = ends
+        return ends
+
+    def device_store_table(self, budget_samples=None):
+        if not self._whole_video_mode():
+            return super().device_store_table(budget_samples)
+        if any(
+            getattr(r, "transformation", "none") != "none"
+            for r in self._audio_records
+        ):
+            return None
+        return [((v, 0, e), e) for v, e in self._video_seg_ends().items()]
+
+    def get_ref(self, index: int):
+        ref = super().get_ref(index)
+        if self._whole_video_mode():
+            v, a, _b = ref["seg_key"]
+            ref["seg_key"] = (v, 0, self._video_seg_ends()[v])
+            ref["clip_off"] = int(ref["clip_off"]) + a
+        return ref
+
     def _construct_loader_action_bounds(self, per_instance: bool = False):
         cfg = self.cfg
         for file in self.path_annotations_pickle:

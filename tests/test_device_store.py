@@ -212,6 +212,66 @@ def test_test_mode_store_resolves_bit_identical(tmp_path):
     check(got, want)
 
 
+def test_slide_whole_video_store_bit_identical(tmp_path):
+    """Whole-video slide mode stores each video ONCE (windows tile it with
+    WIN/HOP overlap) and window gathers — including past-audio-end overruns —
+    reproduce the host batches bit-for-bit."""
+    from asf_tpu.data.build import build_dataset
+    from asf_tpu.data.device_store import DeviceSegmentStore
+    from asf_tpu.data.loader import DevicePrefetcher
+    from fixtures import epic_cfg
+
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = epic_cfg(root)
+    cfg.TEST.DATASET = "EpicKitchensSlide"
+    cfg.TEST.SLIDE.ENABLE = True
+    cfg.TEST.SLIDE.WIN_SIZE = 2.0
+    cfg.TEST.SLIDE.HOP_SIZE = 1.0  # 2x overlapping windows
+    cfg.TEST.SLIDE.INSIDE_ACTION_BOUNDS = False
+    cfg.TEST.SLIDE.PER_ACTION_INSTANCE = False
+    cfg.TPU.HOST_WAVEFORM_CACHE_MB = 0
+    ds = build_dataset("EpicKitchensSlide", cfg, "test")
+
+    store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None)
+    assert store is not None
+    # one segment per VIDEO, smaller than the overlapping window sum
+    n_videos = len({r.untrimmed_video_name for r in ds._audio_records})
+    assert len(store._bases) == n_videos
+    window_bytes = sum(
+        max(0, int(r.num_audio_samples)) for r in ds._audio_records
+    ) * store.dtype.itemsize
+    assert store.nbytes < window_bytes
+
+    plain = _loader(ds, cfg)
+    plain.shuffle = False
+    stored = _loader(ds, cfg, store)
+    stored.shuffle = False
+    want = list(plain)
+    got = list(DevicePrefetcher(iter(stored), depth=2, store=store))
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g["waveform"]), w["waveform"])
+        np.testing.assert_array_equal(np.asarray(g["n_valid"]), w["n_valid"])
+        for k in w["labels"]:
+            np.testing.assert_array_equal(
+                np.asarray(g["labels"][k]), w["labels"][k]
+            )
+
+    # action-bounds / per-instance modes keep the parent per-record segments
+    cfg.TEST.SLIDE.INSIDE_ACTION_BOUNDS = True
+    cfg.TEST.SLIDE.PER_ACTION_INSTANCE = True
+    ds2 = build_dataset("EpicKitchensSlide", cfg, "test")
+    table = ds2.device_store_table()
+    assert table is not None
+    keys = {k for k, _n in table}
+    assert keys == {
+        (r.untrimmed_video_name, int(r.start_audio_sample),
+         int(r.start_audio_sample) + max(0, int(r.num_audio_samples)))
+        for r in ds2._audio_records
+    }
+
+
 def test_store_guards(tmp_path):
     from asf_tpu.data.device_store import DeviceSegmentStore
 
