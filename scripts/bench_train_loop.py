@@ -175,8 +175,8 @@ def main():
 
     # Mirror train(cfg): HBM-resident segments + on-device batch assembly,
     # attached AFTER the example batch (init_state needs a real waveform).
-    # Epic HDF5 only; the wav-backed VGG run streams. ASF_BENCH_DEVSTORE=0
-    # forces streaming for an A/B.
+    # Both datasets support it now (Epic HDF5 regions, VGG wav files).
+    # ASF_BENCH_DEVSTORE=0 forces streaming for an A/B.
     if int(os.environ.get("ASF_BENCH_DEVSTORE", "1")) and int(
         getattr(cfg.TPU, "TRAIN_DEVICE_CACHE_MB", 0)
     ) > 0:
