@@ -279,8 +279,8 @@ _C.TPU.USE_PALLAS_DSP = False
 # to ONE (each bucket shape is a separate multi-minute TPU compile; with
 # buckets a GRU run can stall minutes mid-epoch on a fresh window count —
 # VERDICT r3 weak #3). Default True: predictable cold start beats saved
-# FLOPs on padded windows; set False + scripts/warm_cache.py --buckets to
-# pre-pay all bucket programs when chain lengths are mostly short.
+# FLOPs on padded windows; set False + run scripts/warm_cache.py (which
+# warms every power-of-two bucket) when chain lengths are mostly short.
 _C.TPU.GRU_SINGLE_BUCKET = True
 # AOT-compile (jit.lower().compile()) every program train(cfg) dispatches —
 # all GRU buckets, the K-scan, the tail single step, the fused eval set —

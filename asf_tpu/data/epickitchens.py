@@ -201,9 +201,16 @@ class EpicKitchens:
                 continue
             n = int(dset.shape[0])
             mid = max(0, n // 2 - chunk_len // 2)
-            ok = dset.dtype == np.float32 and on_grid(
-                dset[: min(n, chunk_len)]
-            ) and (mid < chunk_len or on_grid(dset[mid : mid + chunk_len]))
+            ok = dset.dtype == np.float32 and on_grid(dset[: min(n, chunk_len)])
+            if ok:
+                # Short files (< 3 chunks) have no distinct mid region after
+                # the head — probe the ENTIRE remainder so they are fully
+                # covered; longer files get a mid-file chunk.
+                ok = (
+                    on_grid(dset[chunk_len:n])
+                    if mid < chunk_len
+                    else on_grid(dset[mid : mid + chunk_len])
+                )
             if not ok:
                 logger.warning(
                     "TPU.INT16_TRANSFER disabled for %s %s: %s is %s and not "

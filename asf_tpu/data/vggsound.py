@@ -117,7 +117,10 @@ class Vggsound:
 
     def _file_len(self, name: str) -> int:
         """Frame count from the wav header (mmap read, no data touched);
-        channel-mean in load_wav preserves the frame count."""
+        channel-mean in load_wav preserves the frame count. Also enforces
+        ``__getitem__``'s sampling-rate assertion here so the device-store
+        path (which never calls ``__getitem__``) cannot silently train on
+        wrong-rate files."""
         cache = getattr(self, "_flen_cache", None)
         if cache is None:
             cache = self._flen_cache = {}
@@ -125,8 +128,12 @@ class Vggsound:
         if n is None:
             from scipy.io import wavfile
 
-            _, data = wavfile.read(
+            sr, data = wavfile.read(
                 os.path.join(self.cfg.VGGSOUND.AUDIO_DATA_DIR, name), mmap=True
+            )
+            assert sr == self.cfg.AUDIO_DATA.SAMPLING_RATE, (
+                f"Audio sampling rate ({sr}) does not match target "
+                f"({self.cfg.AUDIO_DATA.SAMPLING_RATE})"
             )
             n = cache[name] = int(data.shape[0])
         return n
@@ -155,9 +162,13 @@ class Vggsound:
         return list(out.items())
 
     def read_segment(self, name: str) -> np.ndarray:
-        samples, _sr = load_wav(
+        samples, sr = load_wav(
             os.path.join(self.cfg.VGGSOUND.AUDIO_DATA_DIR, name),
             keep_int16=self.int16,
+        )
+        assert sr == self.cfg.AUDIO_DATA.SAMPLING_RATE, (
+            f"Audio sampling rate ({sr}) does not match target "
+            f"({self.cfg.AUDIO_DATA.SAMPLING_RATE})"
         )
         return samples
 

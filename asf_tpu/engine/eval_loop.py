@@ -241,9 +241,17 @@ def _eval_fused(
         flush()
         return
 
+    def slim(b):
+        # state_metrics_of / collect_plot_rows only read labels + lengths;
+        # dropping the waveform keeps DeviceValCache's retained host batches
+        # (and the streaming path's transient `pending`) small — a cached
+        # 50k-clip val set would otherwise pin GBs of host numpy for the
+        # whole run on this 1-core host.
+        return {k: b[k] for k in ("labels", "lengths") if k in b}
+
     def dispatch(batches, nreals):
         k = len(batches)
-        hkeep = [b if need_preds else None for b in batches]
+        hkeep = [slim(b) if need_preds else None for b in batches]
         if k > 1:
             macro = _stack_batches(batches)
             masks = np.zeros((k, batch_size), np.float32)

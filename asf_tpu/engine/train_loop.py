@@ -103,12 +103,39 @@ def train_epoch(
             metas, fut = fetches.pop(0)
             apply_host(metas, fut.result())
 
+    def fetch_host(metas):
+        # Runs on the metrics worker thread. The per-layer watch histograms
+        # (~300+ leaves x (K,64) ints) are all-zero on every step where
+        # lax.cond took the _zeros branch — shipping them through the
+        # ~50 MB/s relay just to discard them in apply_host wastes ~1 MB per
+        # flush. Fetch the scalar parts + the tiny (K,) _fresh flags first,
+        # and pull the full histogram payload only for windows that contain
+        # a fresh logging step (1 in LOG_PERIOD/K flushes).
+        slim, watches = [], []
+        for _, p, s, _, _, _ in metas:
+            p = dict(p)
+            watches.append(p.pop("watch", None))
+            slim.append((p, s))
+        slim_h, fresh_h = jax.device_get(
+            (slim, [None if w is None else w["_fresh"] for w in watches])
+        )
+        out = []
+        for (ph, sh), w, fr in zip(slim_h, watches, fresh_h):
+            if w is not None:
+                ph = dict(ph)
+                ph["watch"] = (
+                    jax.device_get(w)
+                    if np.any(np.asarray(fr))
+                    else {"_fresh": np.asarray(fr)}
+                )
+            out.append((ph, sh))
+        return out
+
     def flush(block: bool = False):
         if pending:
             metas = pending[:]
             pending.clear()
-            payload = [(p, s) for _, p, s, _, _, _ in metas]
-            fetches.append((metas, fetch_pool.submit(jax.device_get, payload)))
+            fetches.append((metas, fetch_pool.submit(fetch_host, metas)))
         apply_ready(block)
 
     def apply_host(metas, host):
@@ -214,11 +241,23 @@ def train_epoch(
         # window.
         if hasattr(src, "stop"):
             src.stop()
-        # wait=True is bounded: the worker only runs jax.device_get + meter
-        # updates. cancel_futures drops queued flushes so the reap is O(1
-        # in-flight flush), and the worker thread is deterministically gone
-        # when shutdown returns (the exception-cleanup test asserts this).
-        fetch_pool.shutdown(wait=True, cancel_futures=True)
+        # Reap with a BOUNDED wait: the worker only runs jax.device_get, so
+        # with a live relay the in-flight flush resolves in ~tens of ms and
+        # the join below is deterministic (the exception-cleanup test
+        # asserts the thread is gone). But device_get through a DEAD relay
+        # blocks forever (CLAUDE.md documents multi-hour outages) — an
+        # unbounded wait would convert the raised exception into a silent
+        # wedge, so after the timeout we abandon the thread and let the
+        # original exception propagate.
+        fetch_pool.shutdown(wait=False, cancel_futures=True)
+        _, not_done = _cf.wait([f for _, f in fetches], timeout=120.0)
+        if not_done:
+            logger.warning(
+                "metrics worker still blocked in jax.device_get after 120 s "
+                "(dead dispatch relay?) — abandoning the thread"
+            )
+        else:
+            fetch_pool.shutdown(wait=True)
         if tracing:
             jax.profiler.stop_trace()
             logger.info("Saved profiler trace to %s", profile_dir)
@@ -381,6 +420,7 @@ def train(cfg):
         n_warm = warm_compile(
             cfg, mesh, state, train_step, multi_step,
             eval_metrics_step, eval_multi_step,
+            int16=bool(getattr(train_loader.dataset, "int16", False)),
         )
         logger.info(
             "Warm-up compiled %d programs in %.0fs (persistent-cache hot "

@@ -136,10 +136,15 @@ def _macro(b, k: int):
 
 def warm_compile(
     cfg, mesh, state, train_step, multi_step=None,
-    metrics_step=None, eval_multi_step=None,
+    metrics_step=None, eval_multi_step=None, int16: bool | None = None,
 ) -> int:
     """AOT-compile every program train(cfg) dispatches, for every loader
-    shape. Returns the number of programs lowered+compiled."""
+    shape. Returns the number of programs lowered+compiled.
+
+    Pass ``int16`` when the caller already holds a constructed dataset
+    (train(cfg) does: ``train_loader.dataset.int16``) — ``int16_in_effect``
+    would otherwise rebuild the dataset and re-run the PCM-grid probe
+    (head+mid read of every HDF5 video) just to recover a known bool."""
     import jax
     import jax.numpy as jnp
 
@@ -157,7 +162,7 @@ def warm_compile(
     ms = macro_batch_sharding(mesh)
 
     n = 0
-    for b in canonical_batches(cfg, batch_size):
+    for b in canonical_batches(cfg, batch_size, int16=int16):
         shape = b["waveform"].shape
         t0 = time.time()
         sb = shard_batch(dict(b), mesh)

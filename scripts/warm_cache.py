@@ -14,13 +14,14 @@ critical path, for exactly the programs `train(cfg)` / `test(cfg)` dispatch:
 
 All inputs are zeros with the canonical (batch, clip) shapes and the same
 NamedSharding placements the loops use, so the cache keys match the real
-dispatches bit-for-bit. GRU configs compile one program per window bucket —
-pass --buckets to bound which ones get warmed (default: the single
-production bucket when TPU.GRU_SINGLE_BUCKET, else all power-of-two buckets
-up to MAX_NB_SPECTROGRAMS).
+dispatches bit-for-bit. GRU configs compile one program per window bucket:
+the single production bucket when TPU.GRU_SINGLE_BUCKET (the default), else
+all power-of-two buckets up to MAX_NB_SPECTROGRAMS — bound the warmed set
+with the same config override the run uses, e.g.
+`... TPU.GRU_SINGLE_BUCKET True` in the trailing KEY VAL opts.
 
 Usage:
-    python scripts/warm_cache.py --cfg path/to/config.yaml [opts KEY VAL ...]
+    python scripts/warm_cache.py --cfg path/to/config.yaml [KEY VAL ...]
 """
 
 import os
