@@ -182,7 +182,8 @@ class DeviceSegmentStore:
         return g(self._mega, starts, np.asarray(n_valid, np.int32))
 
 
-def resolve_offsets(batch, store: Optional[DeviceSegmentStore], put):
+def resolve_offsets(batch, store: Optional[DeviceSegmentStore], put,
+                    macro: bool = False):
     """Turn an offset batch (``wave_start``) into a regular device batch.
 
     Gathers the waveform from the HBM-resident mega-buffer and runs ``put``
@@ -190,15 +191,18 @@ def resolve_offsets(batch, store: Optional[DeviceSegmentStore], put):
     result is indistinguishable from an uploaded batch — same keys, shapes
     and dtypes — so jitted step programs key-match. Passthrough (``put``
     only) for ordinary waveform batches or ``store=None``. Shared by
-    DevicePrefetcher._resolve, test_loop.perform_test and eval dispatch.
+    DevicePrefetcher._resolve and test_loop.perform_test.
+
+    ``macro`` must say whether the caller stacked a leading (K, ...) macro
+    axis (the gather then takes the macro batch sharding, which shards axis 1
+    instead of axis 0) — the callers build the stack themselves, so they
+    know; inferring it from array ranks would silently flip on a batch-schema
+    change.
     """
     if store is None or "wave_start" not in batch:
         return put(batch)
     batch = dict(batch)
     starts = np.asarray(batch.pop("wave_start"))
-    # offsets are (B,) regular / (B, Nb) GRU chains; one MORE axis means a
-    # stacked (K, ...) macro dispatch, which takes the macro batch sharding
-    macro = starts.ndim > (2 if "lengths" in batch else 1)
     wf = store.gather(starts, batch["n_valid"], macro=macro)
     dev = put(batch)
     dev["waveform"] = wf

@@ -41,6 +41,11 @@ from asf_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
 
+# Archive-wide 16-bit-PCM-grid probe verdicts: (path, mtime_ns, size) ->
+# {video_id: bool}. See EpicKitchens._probe_int16.
+_PCM_GRID_VERDICTS: dict = {}
+_PCM_GRID_LOCK = threading.Lock()
+
 
 @register_dataset("EpicKitchens")
 class EpicKitchens:
@@ -74,17 +79,32 @@ class EpicKitchens:
         self.clip_samples = self.clip_size - 1
         self._epoch = 0
         self.int16 = bool(cfg.TPU.INT16_TRANSFER) if "TPU" in cfg else False
-        cache_mb = int(getattr(cfg.TPU, "HOST_WAVEFORM_CACHE_MB", 0)) if "TPU" in cfg else 0
-        if cache_mb > 0:
-            from .cache import ByteLRUCache
-
-            self._seg_cache = ByteLRUCache(cache_mb << 20)
-        else:
-            self._seg_cache = None
+        self._seg_cache = None
 
         self._construct_loader()
         if self.int16:
             self._probe_int16()
+        cache_mb = int(getattr(cfg.TPU, "HOST_WAVEFORM_CACHE_MB", 0)) if "TPU" in cfg else 0
+        if cache_mb > 0:
+            # The LRU caches whole RECORD segments (record length, not clip
+            # length). When the unique-segment working set exceeds the budget,
+            # a reshuffled epoch against an over-budget LRU gets near-zero
+            # hits, so every miss would pay the segment-sized read
+            # AMPLIFICATION (vs the direct clip-sized read) forever — disable
+            # instead, like the device store does (device_store.try_build).
+            ws = self._cache_working_set_bytes()
+            if ws > cache_mb << 20:
+                logger.info(
+                    "Host waveform cache disabled for %s %s: segment working "
+                    "set %.0f MB > TPU.HOST_WAVEFORM_CACHE_MB=%d (an "
+                    "over-budget LRU re-reads whole record segments every "
+                    "epoch — worse than direct clip reads)",
+                    type(self).__name__, self.mode, ws / 2**20, cache_mb,
+                )
+            else:
+                from .cache import ByteLRUCache
+
+                self._seg_cache = ByteLRUCache(cache_mb << 20)
 
     def set_epoch(self, epoch: int):
         """Re-key the per-item rng stream (DistributedSampler.set_epoch
@@ -184,6 +204,19 @@ class EpicKitchens:
             return
         chunk_len = 16384
 
+        # Per-video verdicts are a property of the ARCHIVE, not the split —
+        # cache them module-wide keyed by (path, mtime, size) so the train /
+        # val / test constructions of the same file (several per run) pay the
+        # ~32 Ki-sample reads per video exactly once per process.
+        path = self.cfg.EPICKITCHENS.AUDIO_DATA_FILE
+        try:
+            st = os.stat(path)
+            akey = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        except OSError:
+            akey = (os.path.abspath(path), 0, 0)
+        with _PCM_GRID_LOCK:
+            verdicts = _PCM_GRID_VERDICTS.setdefault(akey, {})
+
         def on_grid(samples: np.ndarray) -> bool:
             v = np.asarray(samples, np.float32) * 32768.0
             return bool(
@@ -199,18 +232,24 @@ class EpicKitchens:
                 continue
             if dset.dtype == np.int16:
                 continue
-            n = int(dset.shape[0])
-            mid = max(0, n // 2 - chunk_len // 2)
-            ok = dset.dtype == np.float32 and on_grid(dset[: min(n, chunk_len)])
-            if ok:
-                # Short files (< 3 chunks) have no distinct mid region after
-                # the head — probe the ENTIRE remainder so they are fully
-                # covered; longer files get a mid-file chunk.
-                ok = (
-                    on_grid(dset[chunk_len:n])
-                    if mid < chunk_len
-                    else on_grid(dset[mid : mid + chunk_len])
+            ok = verdicts.get(vid)
+            if ok is None:
+                n = int(dset.shape[0])
+                mid = max(0, n // 2 - chunk_len // 2)
+                ok = dset.dtype == np.float32 and on_grid(
+                    dset[: min(n, chunk_len)]
                 )
+                if ok:
+                    # Short files (< 3 chunks) have no distinct mid region
+                    # after the head — probe the ENTIRE remainder so they are
+                    # fully covered; longer files get a mid-file chunk.
+                    ok = (
+                        on_grid(dset[chunk_len:n])
+                        if mid < chunk_len
+                        else on_grid(dset[mid : mid + chunk_len])
+                    )
+                with _PCM_GRID_LOCK:
+                    verdicts[vid] = ok
             if not ok:
                 logger.warning(
                     "TPU.INT16_TRANSFER disabled for %s %s: %s is %s and not "
@@ -245,6 +284,21 @@ class EpicKitchens:
                 chunk = chunk.astype(np.float32) / 32768.0
             out[a - int(start) : b - int(start)] = chunk
         return out
+
+    def _cache_working_set_bytes(self) -> int:
+        """Total bytes of the unique segments ``_cached_region`` would hold —
+        the exact key set the item paths use (record segments for regular
+        items, covering chain regions for GRU items)."""
+        itemsize = 2 if self.int16 else 4
+        segs = set()
+        for r in self._audio_records:
+            if self.gru_format:
+                _nw, a, b = self._gru_region(r)
+            else:
+                a = int(r.start_audio_sample)
+                b = a + max(0, int(r.num_audio_samples))
+            segs.add((r.untrimmed_video_name, a, b))
+        return sum(b - a for (_v, a, b) in segs) * itemsize
 
     def _cached_region(self, video_id: str, start: int, end: int) -> np.ndarray:
         """_read_region through the host-RAM segment LRU (data/cache.py).

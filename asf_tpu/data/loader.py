@@ -387,13 +387,14 @@ class DevicePrefetcher:
         except Exception:
             pass  # never let the warm-path optimisation kill the loader
 
-    def _resolve(self, batch, sharding=None):
+    def _resolve(self, batch, sharding=None, macro: bool = False):
         """Offset batch (``wave_start`` from the device store) -> regular
         device batch (device_store.resolve_offsets); passthrough otherwise."""
         from .device_store import resolve_offsets
 
         return resolve_offsets(
-            batch, self.store, lambda b: self._put_device(b, sharding)
+            batch, self.store, lambda b: self._put_device(b, sharding),
+            macro=macro,
         )
 
     def _put_device(self, batch, sharding=None):
@@ -443,7 +444,7 @@ class DevicePrefetcher:
                     if isinstance(grp[0][k], dict)
                     else np.stack([b[k] for b in grp])
                 )
-            dev = self._resolve(macro, self.macro_sharding)
+            dev = self._resolve(macro, self.macro_sharding, macro=True)
             self._force_transfer(dev)
             self._qput(("macro", dev, self._lr_dev(len(grp))))
         else:  # remainder: epoch tail or a bucket-shape change

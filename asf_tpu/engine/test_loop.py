@@ -99,7 +99,9 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg, mesh, multi_eva
             for i, (_, nr, _) in enumerate(grp):
                 masks[i, :nr] = 1.0
             ms = macro_batch_sharding(mesh)
-            dev = resolve_offsets(macro, store, lambda b: put_with(b, ms))
+            dev = resolve_offsets(
+                macro, store, lambda b: put_with(b, ms), macro=True
+            )
             outs, _ = multi_eval(state, dev, put_with(masks, ms))
         else:
             dev = resolve_offsets(

@@ -255,15 +255,20 @@ def _emit_error(kind: str, detail: str):
     )
 
 
-def _probe_device(timeout_s: float = 120.0) -> bool:
-    """True iff the backend answers a trivial reduction within timeout.
+def _probe_device(timeout_s: float = 120.0):
+    """None iff the backend answers a trivial reduction within timeout, else
+    a failure-detail string.
 
     When the axon relay is down, jax.devices() hangs at enumeration forever —
     run the probe on a side thread and give up after ``timeout_s`` (the op
-    itself is tiny; 120 s covers a cold backend handshake with margin)."""
+    itself is tiny; 120 s covers a cold backend handshake with margin). A
+    probe that RAISES (broken install, bad ASF_PLATFORM) is a different
+    failure from a hang — report the exception and skip the wait, so the
+    driver log points at the real component instead of a phantom outage."""
     import threading
 
     done = threading.Event()
+    err: list = []
 
     def _go():
         try:
@@ -271,13 +276,15 @@ def _probe_device(timeout_s: float = 120.0) -> bool:
             import jax.numpy as jnp
 
             float(jnp.sum(jnp.ones((4, 4))))
-            done.set()
-        except Exception:
-            pass  # leave unset -> treated as down
+        except Exception as e:  # noqa: BLE001 — reported verbatim
+            err.append(f"device probe raised {type(e).__name__}: {e}")
+        done.set()
 
     t = threading.Thread(target=_go, daemon=True)
     t.start()
-    return done.wait(timeout_s)
+    if not done.wait(timeout_s):
+        return f"device probe did not answer within {timeout_s:.0f} s"
+    return err[0] if err else None
 
 
 def main():
@@ -299,8 +306,9 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
-    if not _probe_device():
-        _emit_error("relay_down", "device probe did not answer within 120 s")
+    fail = _probe_device()
+    if fail is not None:
+        _emit_error("relay_down" if "did not answer" in fail else "probe_error", fail)
         os._exit(17)
 
     cfg = _flagship_cfg()

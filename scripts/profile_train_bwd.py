@@ -162,7 +162,10 @@ def main():
                 v(i_bound),
             )
         )
-    recs.sort(reverse=True)
+    # key= keeps ties from comparing the name/category fields, which may be
+    # None under xprof column renames — a TypeError here would lose the
+    # whole (expensive) trace+convert run.
+    recs.sort(key=lambda r: r[0], reverse=True)
     total = sum(t for t, *_ in recs)
     print(
         f"\n{'self us':>10} {'%':>5} {'occ':>4} {'TF/s':>7} "
