@@ -107,6 +107,58 @@ def test_epic_segment_cache_int16_wire(tmp_path):
         np.testing.assert_array_equal(a["waveform"], b["waveform"])
 
 
+def test_epic_segment_cache_overbudget_disables(tmp_path):
+    """A unique-segment working set larger than the budget disables the LRU
+    entirely (an over-budget LRU against reshuffled access gets near-zero
+    hits, so every miss pays a record-segment read instead of the direct
+    clip-sized read); items still assemble via direct reads."""
+    from fixtures import make_epic_fixture, tiny_cfg
+    from asf_tpu.data.epickitchens import EpicKitchens
+
+    root = str(tmp_path)
+    # 16 x 3.0 s + 8 x 0.8 s segments at tiny_cfg's 8 kHz f32 ~= 1.7 MB
+    make_epic_fixture(root, video_secs=40.0, n_records=24)
+    cfg = tiny_cfg(root)
+    cfg.TPU.HOST_WAVEFORM_CACHE_MB = 1
+    ds = EpicKitchens(cfg, "train")
+    assert ds._cache_working_set_bytes() > 1 << 20  # fixture sanity
+    assert ds._seg_cache is None
+    assert ds[0]["waveform"].shape == (ds.clip_samples,)
+    cfg.TPU.HOST_WAVEFORM_CACHE_MB = 64  # same set, comfortable budget
+    assert EpicKitchens(cfg, "train")._seg_cache is not None
+
+
+def test_epic_int16_probe_verdicts_cached(tmp_path):
+    """The 16-bit-PCM-grid probe verdicts are cached per archive: the train /
+    val / test constructions of the same HDF5 must not re-read every video's
+    head+mid chunks (several constructions per run, ~32 Ki samples each on a
+    1-core host)."""
+    import os
+
+    import h5py
+
+    from fixtures import make_epic_fixture, tiny_cfg
+    from asf_tpu.data import epickitchens as ek
+
+    root = str(tmp_path)
+    h5_path, _, _ = make_epic_fixture(root)
+    with h5py.File(h5_path, "r+") as f:  # snap samples onto the PCM grid
+        for k in f:
+            v = np.clip(np.rint(f[k][()] * 32768.0), -32768, 32767) / 32768.0
+            f[k][...] = v.astype(np.float32)
+    cfg = tiny_cfg(root)
+    cfg.TPU.INT16_TRANSFER = True
+    ds1 = ek.EpicKitchens(cfg, "train")
+    assert ds1.int16
+    akeys = [k for k in ek._PCM_GRID_VERDICTS if k[0] == os.path.abspath(h5_path)]
+    assert len(akeys) == 1 and all(ek._PCM_GRID_VERDICTS[akeys[0]].values())
+    # a second construction must consult the cache, not the file: poison the
+    # verdicts and observe the probe trusting them
+    for vid in ek._PCM_GRID_VERDICTS[akeys[0]]:
+        ek._PCM_GRID_VERDICTS[akeys[0]][vid] = False
+    assert not ek.EpicKitchens(cfg, "train").int16
+
+
 # ------------------------------------------------------ DeviceValCache -----
 def _eval_cfg():
     cfg = get_cfg()
