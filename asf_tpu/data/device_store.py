@@ -22,6 +22,15 @@ GRU chain items gather as (B, Nb) offset grids into stored chain regions
 (one dynamic_slice per window); regular items as (B,) clip offsets. Test
 mode gathers every NUM_ENSEMBLE_VIEWS clip from ONE stored segment.
 
+Multi-host meshes work too: every process holds the identical dataset (the
+loader only rank-shards the INDEX order), so each builds the same mega-buffer
+and contributes its addressable shards of the replicated upload
+(``make_array_from_callback``); per-process offset shards are assembled into
+global arrays with ``make_array_from_process_local_data`` before the gather —
+the same assembly route ``shard_batch`` takes for streamed batches. The
+store/stream decision is a deterministic function of the shared annotation
+files + config, so all processes agree on it.
+
 Scope guards (``try_build`` returns None and the loop streams as before):
   * datasets must offer the ref protocol (``device_store_table`` /
     ``get_ref`` / ``read_segment`` — EpicKitchens family incl. GRU,
@@ -29,9 +38,7 @@ Scope guards (``try_build`` returns None and the loop streams as before):
   * any record with a host-side waveform transformation disables the store
     (augmentation must see float samples on the host);
   * total segment bytes must fit the MB budget
-    (``TPU.TRAIN_DEVICE_CACHE_MB`` / ``TPU.TEST_DEVICE_CACHE_MB``);
-  * multi-host meshes stream (per-process assembly of gathered global
-    arrays is not implemented).
+    (``TPU.TRAIN_DEVICE_CACHE_MB`` / ``TPU.TEST_DEVICE_CACHE_MB``).
 """
 
 from __future__ import annotations
@@ -64,10 +71,21 @@ class DeviceSegmentStore:
         # Start of the trailing all-zero pad: a window gathered from here
         # (with n_valid=1) reproduces collate's all-zero padded GRU rows.
         self.pad_offset = int(mega_np.shape[0] - clip_samples)
+        self._multiproc = False
         if mesh is not None:
-            from asf_tpu.parallel.mesh import replicated
+            from asf_tpu.parallel.mesh import mesh_spans_processes, replicated
 
-            self._mega = jax.device_put(mega_np, replicated(mesh))
+            rep = replicated(mesh)
+            self._multiproc = mesh_spans_processes(mesh)
+            if self._multiproc:
+                # device_put expects addressable devices only; provide each
+                # local device's (full, replicated) shard from the host copy
+                # every process built identically.
+                self._mega = jax.make_array_from_callback(
+                    mega_np.shape, rep, lambda idx: mega_np[idx]
+                )
+            else:
+                self._mega = jax.device_put(mega_np, rep)
         else:
             self._mega = jax.device_put(mega_np)
         self._gathers = {}  # (starts_ndim, macro) -> jitted gather
@@ -91,15 +109,6 @@ class DeviceSegmentStore:
                 "exceeds the budget)", type(dataset).__name__,
             )
             return None
-        if mesh is not None:
-            from asf_tpu.parallel.mesh import mesh_spans_processes
-
-            if mesh_spans_processes(mesh):
-                logger.info(
-                    "Device segment store disabled: mesh spans processes"
-                )
-                return None
-
         lengths = [max(0, int(n)) for (_k, n) in table]
         total = sum(lengths) + clip_samples  # trailing pad: slices never clamp
         if total * itemsize > budget_bytes:
@@ -173,13 +182,28 @@ class DeviceSegmentStore:
 
         Bit-identical to the host assembly: samples past ``n_valid`` are
         zeroed exactly as the host's zero-initialised clip buffers were.
+
+        Multi-host: ``starts``/``n_valid`` are this process's rank shard of
+        the batch axis (the loader rank-shards records); they are assembled
+        into global arrays here, exactly like ``shard_batch`` does for
+        streamed waveforms.
         """
         starts = np.asarray(starts, np.int32)
+        n_valid = np.asarray(n_valid, np.int32)
         key = (starts.ndim, macro)
         g = self._gathers.get(key)
         if g is None:
             g = self._gathers[key] = self._make_gather(*key)
-        return g(self._mega, starts, np.asarray(n_valid, np.int32))
+        if self._multiproc:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = [None] * starts.ndim
+            spec[1 if macro else 0] = "data"
+            sh = NamedSharding(self.mesh, P(*spec))
+            starts = jax.make_array_from_process_local_data(sh, starts)
+            n_valid = jax.make_array_from_process_local_data(sh, n_valid)
+        return g(self._mega, starts, n_valid)
 
 
 def resolve_offsets(batch, store: Optional[DeviceSegmentStore], put,

@@ -67,6 +67,29 @@ rows = np.asarray(
     jax.jit(lambda x: x.sum(axis=1), out_shardings=NamedSharding(mesh, P()))(arr)
 )
 np.testing.assert_array_equal(rows, np.concatenate([np.zeros(4), np.full(4, 8.0)]))
+
+# multi-host device segment store: each rank ships DISTINCT offset shards;
+# the on-device gather must assemble the same global batch host collation
+# would have (rank-0 rows then rank-1 rows, zeroed past n_valid)
+from asf_tpu.data.device_store import DeviceSegmentStore
+from asf_tpu.data.epickitchens import EpicKitchens
+ds = EpicKitchens(cfg, "train")
+store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh)
+assert store is not None, "store must build on a process-spanning mesh"
+seg_key = sorted(store._bases)[0]
+raw = np.asarray(ds.read_segment(seg_key))
+S = store.clip_samples
+off = np.asarray([2 * rank, 2 * rank + 1], np.int32)  # distinct per rank
+starts = (store.base(seg_key) + off).astype(np.int32)
+nv = np.minimum(S, len(raw) - off).astype(np.int32)
+wf = store.gather(starts, nv, macro=False)            # global (4, S)
+got = np.asarray(jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(wf))
+assert got.shape == (4, S), got.shape
+for j in range(4):                                    # global row j <- offset j
+    exp = np.zeros(S, raw.dtype)
+    m = min(S, len(raw) - j)
+    exp[:m] = raw[j : j + m]
+    np.testing.assert_array_equal(got[j], exp, err_msg=f"global row {j}")
 print("RANK_OK", rank, flush=True)
 """
 
@@ -114,6 +137,11 @@ def test_two_process_train(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
         assert f"RANK_OK {rank}" in out
+        # the real train(cfg) engaged the HBM segment store on the
+        # process-spanning mesh (TPU.TRAIN_DEVICE_CACHE_MB default); only
+        # rank 0 logs (non-primary processes are silenced)
+        if rank == 0:
+            assert "Device segment store:" in out, f"rank {rank}:\n{out[-4000:]}"
 
     a = np.load(os.path.join(root, "params_rank0.npz"))
     b = np.load(os.path.join(root, "params_rank1.npz"))
