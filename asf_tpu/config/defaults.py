@@ -288,6 +288,10 @@ _C.TPU.GRU_SINGLE_BUCKET = True
 # compiles predictably up front (into the persistent cache) instead of
 # stalling the first dispatches / mid-epoch bucket changes.
 _C.TPU.WARM_COMPILE_ON_START = False
+# Backend compiles of the warm-up program set run in this many threads
+# (PJRT compile releases the GIL; the work is backend-side) — cold-start
+# wall clock tends to max(program) instead of sum(programs).
+_C.TPU.WARM_COMPILE_THREADS = 4
 # Ship 16-bit-PCM waveforms to the device as raw int16 and apply the /32768
 # scale in the jitted input pipeline — halves host copy + H2D bytes
 # (bit-identical to the host conversion). Applies to wav-backed datasets.

@@ -144,7 +144,14 @@ def warm_compile(
     Pass ``int16`` when the caller already holds a constructed dataset
     (train(cfg) does: ``train_loader.dataset.int16``) — ``int16_in_effect``
     would otherwise rebuild the dataset and re-run the PCM-grid probe
-    (head+mid read of every HDF5 video) just to recover a known bool."""
+    (head+mid read of every HDF5 video) just to recover a known bool.
+
+    Lowering (Python tracing) is sequential, but the backend compiles run in
+    a thread pool of ``TPU.WARM_COMPILE_THREADS`` workers: PJRT ``compile``
+    releases the GIL and the work is server-side, so the cold-start wall
+    clock is ~max(program) instead of sum(programs) wherever the backend
+    compiles concurrently (persistent-cache writes are per-key files, safe
+    under concurrency)."""
     import jax
     import jax.numpy as jnp
 
@@ -161,32 +168,56 @@ def warm_compile(
     bs = batch_sharding(mesh)
     ms = macro_batch_sharding(mesh)
 
-    n = 0
+    t_lower = time.time()
+    jobs: list[tuple[str, object]] = []
     for b in canonical_batches(cfg, batch_size, int16=int16):
         shape = b["waveform"].shape
-        t0 = time.time()
         sb = shard_batch(dict(b), mesh)
-        train_step.lower(state, sb, jnp.float32(0.0), rng).compile()
-        logger.info("[warm] train single %s: %.1fs", shape, time.time() - t0)
-        n += 1
+        jobs.append(
+            (
+                f"train single {shape}",
+                train_step.lower(state, sb, jnp.float32(0.0), rng),
+            )
+        )
         if multi_step is not None:
-            t0 = time.time()
             mb = put_with(_macro(b, k), ms)
-            multi_step.lower(state, mb, jnp.zeros((k,), jnp.float32), rng).compile()
-            logger.info("[warm] train K=%d %s: %.1fs", k, shape, time.time() - t0)
-            n += 1
+            jobs.append(
+                (
+                    f"train K={k} {shape}",
+                    multi_step.lower(state, mb, jnp.zeros((k,), jnp.float32), rng),
+                )
+            )
         if metrics_step is not None:
-            t0 = time.time()
             mask = put_with(np.ones((batch_size,), np.float32), bs)
-            metrics_step.lower(state, shard_batch(dict(b), mesh), mask).compile()
-            logger.info("[warm] eval metrics %s: %.1fs", shape, time.time() - t0)
-            n += 1
+            jobs.append(
+                (
+                    f"eval metrics {shape}",
+                    metrics_step.lower(state, shard_batch(dict(b), mesh), mask),
+                )
+            )
         if eval_multi_step is not None:
-            t0 = time.time()
             masks = put_with(np.ones((k, batch_size), np.float32), ms)
-            eval_multi_step.lower(
-                state, put_with(_macro(b, k), ms), masks
-            ).compile()
-            logger.info("[warm] eval K=%d %s: %.1fs", k, shape, time.time() - t0)
-            n += 1
-    return n
+            jobs.append(
+                (
+                    f"eval K={k} {shape}",
+                    eval_multi_step.lower(state, put_with(_macro(b, k), ms), masks),
+                )
+            )
+    logger.info("[warm] lowered %d programs in %.1fs", len(jobs), time.time() - t_lower)
+
+    def _compile(job):
+        label, lowered = job
+        t0 = time.time()
+        lowered.compile()
+        logger.info("[warm] %s: %.1fs", label, time.time() - t0)
+
+    threads = max(1, int(getattr(cfg.TPU, "WARM_COMPILE_THREADS", 1)))
+    if threads == 1 or len(jobs) <= 1:
+        for job in jobs:
+            _compile(job)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(threads, len(jobs))) as pool:
+            list(pool.map(_compile, jobs))
+    return len(jobs)

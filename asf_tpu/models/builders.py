@@ -17,6 +17,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from asf_tpu.ops.maxpool import max_pool as tpu_max_pool
+
 from .gru import GRUResNetBasicHead
 from .heads import ResNetBasicHead
 from .layers import AudioModelStem, FuseFastToSlow, ResStage
@@ -148,7 +150,10 @@ def _slowfast_trunk(cfg, dtype, xs, train: bool = False, bn_stats_frozen: bool =
 
     pool_size = _POOL1["slowfast"]
     xs = [
-        nn.max_pool(x, tuple(pool_size[p]), strides=tuple(pool_size[p]), padding="VALID")
+        tpu_max_pool(
+            x, tuple(pool_size[p]), strides=tuple(pool_size[p]),
+            padding=((0, 0), (0, 0)),
+        )
         for p, x in enumerate(xs)
     ]
 
@@ -338,7 +343,10 @@ class ResNet(nn.Module):
             if si == 0:
                 pool_size = _POOL1[arch]
                 xs = [
-                    nn.max_pool(x, tuple(pool_size[0]), strides=tuple(pool_size[0]), padding="VALID")
+                    tpu_max_pool(
+                        x, tuple(pool_size[0]), strides=tuple(pool_size[0]),
+                        padding=((0, 0), (0, 0)),
+                    )
                     for x in xs
                 ]
 

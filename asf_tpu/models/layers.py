@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from asf_tpu.ops.maxpool import max_pool as tpu_max_pool
+
 # Caffe2 MSRA fill: kaiming-normal, fan_out, relu gain
 # (parity with utils/weight_init_helper.py:10-24 via fvcore c2_msra_fill).
 msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -165,7 +167,9 @@ class ResNetBasicStem(nn.Module):
         # callers pass bn_stats_frozen=False here.
         x = self.norm(self.dim_out, name="bn")(x, use_running_average=not train or bn_stats_frozen)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # claim-chain VJP max pool: forward == nn.max_pool bit-for-bit,
+        # backward avoids select_and_scatter (asf_tpu/ops/maxpool.py)
+        x = tpu_max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x
 
 

@@ -57,4 +57,8 @@ run_step trainloop_epic 3600 env ASF_BENCH_BATCH=128 ASF_BENCH_DATASET=epic pyth
 # 6. XProf pass over the backward of the K-scan train dispatch (VERDICT #5).
 run_step profile_bwd 3600 env ASF_BENCH_BATCH=128 python scripts/profile_train_bwd.py
 
+# 7. GRU cold-start bound (VERDICT #7): fresh-cache train(cfg) at asf-gru-state
+#    geometry with GRU_SINGLE_BUCKET + WARM_COMPILE_ON_START. Target <= 900 s.
+run_step gru_coldstart 5400 python scripts/bench_gru_coldstart.py
+
 note "sweep complete — logs in $LOGS"
