@@ -11,10 +11,17 @@ prime suspect in the unprofiled backward (VERDICT r3 weak #5).
 This module keeps the optimal forward (``lax.reduce_window``) and swaps the
 VJP for a claim-chain over the window taps: for each static tap offset the
 gradient cell claims windows whose max it equals and that no earlier tap
-claimed (row-major tap order = torch's and XLA's first-match tie routing),
-then lands in the input via one interior-dilated ``lax.pad`` + add. Every op
-is an elementwise compare/select or a pad — VPU-bandwidth work with static
-shapes, no scatter. Gradients are BIT-IDENTICAL to torch's MaxPool2d
+claimed (row-major tap order = torch's and XLA's first-match tie routing).
+Claims then land via stride-residue PARITY PLANES: input position
+``p = s*a + d`` belongs to residue ``d % s``, so every tap accumulates into
+one of ``s_t * s_f`` output-sized planes (plain pads + adds — planes are
+disjoint, so at most ``ceil(k/s)`` adds collide per cell) and ONE
+stack/reshape interleave materialises the input-sized gradient. The first
+version of this landing used one interior-dilated ``lax.pad`` + full-size
+add PER TAP (9 gradient-sized round-trips through HBM at the stem pool);
+the plane form writes the gradient once. Every op is an elementwise
+compare/select, a plain pad, or a reshape — VPU/copy-bandwidth work with
+static shapes, no scatter. Gradients are BIT-IDENTICAL to torch's MaxPool2d
 backward (first max in the window wins ties; contributions from overlapping
 windows sum) — asserted against torch in tests/test_maxpool.py.
 
@@ -71,7 +78,11 @@ def _make_pool(window: tuple, strides: tuple, padding: tuple):
         to, fo = y.shape[1], y.shape[2]
         zero = jnp.zeros((), g.dtype)
         claimed = jnp.zeros(y.shape, bool)
-        grad = jnp.zeros(xp.shape, g.dtype)
+        # residue-plane accumulators: plane[rt][rf][i, j] is the gradient of
+        # input position (st*i + rt, sf*j + rf) — planes partition the input.
+        lt_ = -(-tp // st)
+        lf_ = -(-fp // sf)
+        planes = [[None for _ in range(sf)] for _ in range(st)]
         for dt in range(kt):
             for df in range(kf):
                 t_end = dt + st * (to - 1) + 1
@@ -83,16 +94,38 @@ def _make_pool(window: tuple, strides: tuple, padding: tuple):
                 )
                 take = (tap == y) & ~claimed
                 claimed = claimed | take
-                grad = grad + lax.pad(
+                # tap (dt, df) lands at p = (st*a + dt, sf*e + df): plane
+                # (dt % st, df % sf), index (a + dt//st, e + df//sf).
+                rt, sht = dt % st, dt // st
+                rf, shf = df % sf, df // sf
+                part = lax.pad(
                     jnp.where(take, g, zero),
                     zero,
                     (
                         (0, 0, 0),
-                        (dt, tp - t_end, st - 1),
-                        (df, fp - f_end, sf - 1),
+                        (sht, lt_ - to - sht, 0),
+                        (shf, lf_ - fo - shf, 0),
                         (0, 0, 0),
                     ),
                 )
+                prev = planes[rt][rf]
+                planes[rt][rf] = part if prev is None else prev + part
+        zplane = None
+        rows = []
+        for rt in range(st):
+            row = []
+            for rf in range(sf):
+                p_ = planes[rt][rf]
+                if p_ is None:
+                    if zplane is None:
+                        zplane = jnp.zeros((b, lt_, lf_, c), g.dtype)
+                    p_ = zplane
+                row.append(p_)
+            rows.append(jnp.stack(row, axis=3))  # (b, lt, lf, sf, c)
+        # interleave: row-major over (i, rt) pairs is exactly p_t = st*i + rt
+        grad = jnp.stack(rows, axis=2).reshape(b, lt_ * st, lf_ * sf, c)[
+            :, :tp, :fp, :
+        ]
         return (grad[:, pt0 : tp - pt1, pf0 : fp - pf1, :],)
 
     pool.defvjp(pool_fwd, pool_bwd)
