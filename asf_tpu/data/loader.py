@@ -475,8 +475,11 @@ class DevicePrefetcher:
         except _PrefetchStopped:
             return  # consumer called stop(); no sentinel needed
         except Exception as e:  # surface worker errors to the consumer
-            self._qput(("error", e, None))
-            self._qput(("done", None, None))
+            try:
+                self._qput(("error", e, None))
+                self._qput(("done", None, None))
+            except _PrefetchStopped:
+                pass  # consumer stopped while we were reporting — no listener
             return
         self._qput(("done", None, None))
 

@@ -239,11 +239,12 @@ def main():
 
     ms_sh = macro_batch_sharding(mesh)
     pf = DevicePrefetcher(iter(loader), depth=2, sharding=None,
-                          group=k, macro_sharding=ms_sh)
+                          group=k, macro_sharding=ms_sh,
+                          store=getattr(loader, "device_store", None))
     macros = []
     for kind, payload, _lr in pf:
         if kind == "macro":
-            jax.block_until_ready(payload["waveform"])
+            jax.block_until_ready(payload)
             macros.append(payload)
         if len(macros) == min(3, max(1, len(loader) // k)):
             break

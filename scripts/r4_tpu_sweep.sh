@@ -29,7 +29,7 @@ run_step() {
 }
 
 # 0. Probe — abort the sweep early if the relay is (still / again) down.
-if ! timeout 60 python -c "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4,4)))))" >/dev/null 2>&1; then
+if ! timeout 150 python -c "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4,4)))))" >/dev/null 2>&1; then
   note "ABORT: relay probe failed — TPU unreachable"
   exit 1
 fi
