@@ -345,6 +345,12 @@ _C.TPU.TRAIN_DEVICE_CACHE_MB = 2048
 # record gathers from ONE stored segment, so the test H2D wire drops by the
 # view count (and to zero after the store build). Same auto-disable guards.
 _C.TPU.TEST_DEVICE_CACHE_MB = 2048
+# Fuse the store gather INTO the K-step train dispatch: macro batches ship
+# wave_start offsets and each scan step gathers its (B, S) waveform in-graph
+# (steps.py make_train_multi_step(store=...)) — one relay dispatch per K
+# steps instead of gather + consume + step, and no (K, B, S) assembled
+# intermediate in HBM. Off = r3 behaviour (prefetch-thread gather program).
+_C.TPU.FUSED_STORE_GATHER = True
 
 # Hook for downstream users to extend the config tree.
 custom_config.add_custom_config(_C)

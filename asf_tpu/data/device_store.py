@@ -150,22 +150,20 @@ class DeviceSegmentStore:
     def base(self, seg_key) -> int:
         return self._bases[seg_key]
 
+    @property
+    def mega(self):
+        """The device-resident mega-buffer (replicated over the mesh) — the
+        operand the FUSED train dispatch gathers from in-graph
+        (engine/steps.py make_train_multi_step(store=...))."""
+        return self._mega
+
     def _make_gather(self, ndim: int, macro: bool):
         import jax
-        import jax.numpy as jnp
 
         S = self.clip_samples
-        iota = np.arange(S, dtype=np.int32)
-
-        def one(mega, s, nv):
-            w = jax.lax.dynamic_slice(mega, (s,), (S,))
-            return jnp.where(jnp.asarray(iota) < nv, w, jnp.zeros((), w.dtype))
 
         def fn(mega, starts, n_valid):
-            f = one
-            for _ in range(ndim):  # one vmap per leading offset axis
-                f = jax.vmap(f, in_axes=(None, 0, 0))
-            return f(mega, starts, n_valid)
+            return gather_in_graph(mega, starts, n_valid, S)
 
         if self.mesh is not None:
             from asf_tpu.parallel.mesh import batch_sharding, macro_batch_sharding
@@ -204,6 +202,31 @@ class DeviceSegmentStore:
             starts = jax.make_array_from_process_local_data(sh, starts)
             n_valid = jax.make_array_from_process_local_data(sh, n_valid)
         return g(self._mega, starts, n_valid)
+
+
+def gather_in_graph(mega, starts, n_valid, clip_samples: int):
+    """Offset gather as a pure traced function: (…,)-shaped int32 ``starts``
+    into ``mega`` -> (…, S) waveforms, samples past ``n_valid`` zeroed.
+
+    This is THE gather — the store's standalone jitted programs wrap it, and
+    the fused train dispatch (engine/steps.py ``make_train_multi_step`` with
+    ``store=``) inlines it into the scan body so a K-step macro costs ONE
+    relay dispatch with no (K, B, S) assembled intermediate: XLA fuses the
+    per-step (B, S) gather straight into the DSP front end."""
+    import jax
+    import jax.numpy as jnp
+
+    S = int(clip_samples)
+    iota = jnp.arange(S, dtype=jnp.int32)
+
+    def one(mega, s, nv):
+        w = jax.lax.dynamic_slice(mega, (s,), (S,))
+        return jnp.where(iota < nv, w, jnp.zeros((), w.dtype))
+
+    f = one
+    for _ in range(starts.ndim):  # one vmap per leading offset axis
+        f = jax.vmap(f, in_axes=(None, 0, 0))
+    return f(mega, starts, n_valid)
 
 
 def resolve_offsets(batch, store: Optional[DeviceSegmentStore], put,

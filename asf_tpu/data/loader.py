@@ -303,6 +303,9 @@ def iter_prefetched(loader, cfg, mesh=None, group: int = 1, lr_fn=None):
         macro_sharding=macro_sharding,
         lr_fn=lr_fn,
         store=store,
+        fuse_store=bool(getattr(cfg.TPU, "FUSED_STORE_GATHER", True))
+        if "TPU" in cfg
+        else False,
     )
 
 
@@ -322,6 +325,7 @@ class DevicePrefetcher:
         macro_sharding=None,
         lr_fn=None,
         store=None,
+        fuse_store: bool = False,
     ):
         import jax
 
@@ -333,6 +337,12 @@ class DevicePrefetcher:
         self.macro_sharding = macro_sharding
         self.lr_fn = lr_fn
         self.store = store  # DeviceSegmentStore: resolve offset batches
+        # Fused mode: macro offset batches are NOT resolved here — the tiny
+        # wave_start arrays upload as-is and the train dispatch gathers
+        # in-graph (engine/steps.py make_train_multi_step(store=...)).
+        # Epoch-tail singles still resolve (the single-step program keeps
+        # its waveform signature).
+        self.fuse_store = bool(fuse_store) and store is not None
         self._step_idx = 0  # running per-item index feeding lr_fn
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._consume_fns = {}
@@ -444,7 +454,10 @@ class DevicePrefetcher:
                     if isinstance(grp[0][k], dict)
                     else np.stack([b[k] for b in grp])
                 )
-            dev = self._resolve(macro, self.macro_sharding, macro=True)
+            if self.fuse_store and "wave_start" in macro:
+                dev = self._put_device(macro, self.macro_sharding)
+            else:
+                dev = self._resolve(macro, self.macro_sharding, macro=True)
             self._force_transfer(dev)
             self._qput(("macro", dev, self._lr_dev(len(grp))))
         else:  # remainder: epoch tail or a bucket-shape change

@@ -55,14 +55,32 @@ def interpolate_spline(
     ones = jnp.ones((n, 1), train_points.dtype)
     b = jnp.concatenate([train_points, ones], axis=1)  # (n, d+1)
 
-    lhs_top = jnp.concatenate([a, b], axis=1)  # (n, n+d+1)
-    lhs_bot = jnp.concatenate([b.T, jnp.zeros((d + 1, d + 1), a.dtype)], axis=1)
-    lhs = jnp.concatenate([lhs_top, lhs_bot], axis=0)
-    lhs = lhs + regularization * jnp.eye(n + d + 1, dtype=a.dtype)
-
-    rhs = jnp.concatenate([train_values, jnp.zeros((d + 1, k), a.dtype)], axis=0)
-    coeffs = jnp.linalg.solve(lhs, rhs)
-    w, v = coeffs[:n], coeffs[n:]
+    if n == 1:
+        # SpecAugment's case (one control point): the ridged KKT system
+        #   [[a+r, b],[b^T, r·I]] [w; v] = [val; 0]
+        # solves in closed form by block elimination — v = -(w/r)·b^T from
+        # the bottom rows, then w = val / (a + r − |b|²/r). Exact same
+        # algebra the LU factorisation performs, but elementwise: the
+        # batched 4×4 `LuDecompositionBlock` custom-call + triangular
+        # solves cost ~230 µs/step of the K-scanned train dispatch
+        # (PROFILE.md §1b) and serialise on the VPU; this fuses to nothing.
+        r = jnp.asarray(regularization, a.dtype)
+        b1 = b[0]  # (d+1,)
+        denom = a[0, 0] + r - jnp.sum(jnp.square(b1)) / r
+        w = train_values / denom  # (1, k)
+        v = (-w / r) * b1[:, None]  # (d+1, k)
+    else:
+        lhs_top = jnp.concatenate([a, b], axis=1)  # (n, n+d+1)
+        lhs_bot = jnp.concatenate(
+            [b.T, jnp.zeros((d + 1, d + 1), a.dtype)], axis=1
+        )
+        lhs = jnp.concatenate([lhs_top, lhs_bot], axis=0)
+        lhs = lhs + regularization * jnp.eye(n + d + 1, dtype=a.dtype)
+        rhs = jnp.concatenate(
+            [train_values, jnp.zeros((d + 1, k), a.dtype)], axis=0
+        )
+        coeffs = jnp.linalg.solve(lhs, rhs)
+        w, v = coeffs[:n], coeffs[n:]
 
     q_phi = _phi(_cross_sq_dists(query_points, train_points), order)  # (m, n)
     q_aug = jnp.concatenate(

@@ -351,7 +351,7 @@ def make_train_step(cfg, model, tx):
     return jax.jit(_make_step_core(cfg, model, tx), donate_argnums=(0,))
 
 
-def make_train_multi_step(cfg, model, tx):
+def make_train_multi_step(cfg, model, tx, store=None):
     """K train steps per host dispatch: ``lax.scan`` over a macro-batch whose
     leaves carry a leading (K, ...) axis, with a (K,) LR vector.
 
@@ -364,19 +364,47 @@ def make_train_multi_step(cfg, model, tx):
     tools/train_net.py:365-656); this is the standard JAX/TPU pattern of
     moving the inner loop into the compiled program.
 
+    With ``store`` (a DeviceSegmentStore) the dispatch accepts FUSED offset
+    macros: leaves carry ``wave_start`` (K, B[, Nb]) int32 instead of the
+    waveform, and the caller passes the store's HBM-resident mega-buffer as
+    the trailing ``mega`` operand. Each scan step then gathers its (B, S)
+    waveform in-graph (device_store.gather_in_graph) — one relay dispatch
+    per K steps, no standalone gather program, and no (K, B, S) assembled
+    intermediate in HBM. Waveform macros still work through the same jit
+    (``mega=None``), so the streaming path and the epoch-tail singles keep
+    their programs.
+
     Per-micro-step rng streams stay distinct because the core folds the rng
     with ``state.step``, which increments inside the scan carry.
     Returns (new_state, parts, stats) with (K,)-leading metric leaves.
     """
     core = _make_step_core(cfg, model, tx)
+    # Clip length for the fused gather: from the store when given, else the
+    # cfg-derived value every dataset uses (clip_size - 1, data/vggsound.py:53
+    # / data/epickitchens.py:79) — so a caller that attached a store but
+    # built the step without it still traces correct shapes.
+    clip_samples = (
+        int(store.clip_samples)
+        if store is not None
+        else int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1
+    )
 
     # Only the state is donated: input waveform/label buffers can never alias
     # the outputs (dtype/shape mismatch — XLA would warn and ignore), and NOT
-    # donating them keeps uploaded macros legally reusable by callers.
+    # donating them keeps uploaded macros legally reusable by callers; the
+    # mega-buffer must survive the call (every later macro gathers from it).
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi_step(state: TrainState, macro_batch, lr_vec, rng):
+    def multi_step(state: TrainState, macro_batch, lr_vec, rng, mega=None):
         def body(st, xs):
             batch, lr = xs
+            if "wave_start" in batch:  # fused offset macro (static key check)
+                from asf_tpu.data.device_store import gather_in_graph
+
+                batch = dict(batch)
+                starts = batch.pop("wave_start")
+                batch["waveform"] = gather_in_graph(
+                    mega, starts, batch["n_valid"], clip_samples
+                )
             st2, parts, stats = core(st, batch, lr, rng)
             return st2, (parts, stats)
 

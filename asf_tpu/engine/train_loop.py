@@ -185,6 +185,13 @@ def train_epoch(
     def lr_at(it):
         return lr_policy.get_lr_at_epoch(cfg, cur_epoch + float(it) / data_size)
 
+    # Fused offset macros gather their waveforms in-graph from the store's
+    # mega-buffer (steps.py make_train_multi_step(store=...)); the dispatch
+    # below passes it as the trailing operand whenever a macro ships
+    # ``wave_start`` instead of a waveform.
+    _store = getattr(train_loader, "device_store", None)
+    store_mega = _store.mega if _store is not None else None
+
     cur_iter = 0
     train_meter.iter_tic()
     src = iter_prefetched(train_loader, cfg, mesh, group=group, lr_fn=lr_at)
@@ -200,15 +207,22 @@ def train_epoch(
             train_meter.data_toc()
 
             if kind == "macro":
-                k = batch["waveform"].shape[0]
+                fused = "wave_start" in batch
+                lead = batch["wave_start"] if fused else batch["waveform"]
+                k = lead.shape[0]
                 lrs = [lr_at(cur_iter + i) for i in range(k)]  # host floats: meters
                 lr_vec = (
                     lr_dev
                     if lr_dev is not None
                     else jnp.asarray(np.asarray(lrs, np.float32))
                 )
-                state, parts, stats = multi_step(state, batch, lr_vec, rng)
-                mb_size = batch["waveform"].shape[1]
+                if fused:
+                    state, parts, stats = multi_step(
+                        state, batch, lr_vec, rng, store_mega
+                    )
+                else:
+                    state, parts, stats = multi_step(state, batch, lr_vec, rng)
+                mb_size = lead.shape[1]
             else:
                 k = 1
                 batch.pop("metadata", None)
@@ -400,8 +414,12 @@ def train(cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
 
     train_step = make_train_step(cfg, model, tx)
+    _fuse = bool(getattr(cfg.TPU, "FUSED_STORE_GATHER", True))
     multi_step = (
-        make_train_multi_step(cfg, model, tx)
+        make_train_multi_step(
+            cfg, model, tx,
+            store=getattr(train_loader, "device_store", None) if _fuse else None,
+        )
         if int(cfg.TPU.STEPS_PER_DISPATCH) > 1
         else None
     )
@@ -421,6 +439,7 @@ def train(cfg):
             cfg, mesh, state, train_step, multi_step,
             eval_metrics_step, eval_multi_step,
             int16=bool(getattr(train_loader.dataset, "int16", False)),
+            store=getattr(train_loader, "device_store", None) if _fuse else None,
         )
         logger.info(
             "Warm-up compiled %d programs in %.0fs (persistent-cache hot "

@@ -123,6 +123,62 @@ def canonical_batches(cfg, batch_size: int, int16: bool | None = None):
     return batches
 
 
+def store_lowering_spec(cfg, mesh):
+    """The mega-buffer AVAL a ``train(cfg)`` run would attach — WITHOUT
+    reading any audio. Segment lengths come from the dataset's
+    ``device_store_table`` (annotation arithmetic only), so warm_cache.py can
+    lower the FUSED train program (make_train_multi_step(store=...)) against
+    a ShapeDtypeStruct and key-match the real run's compile exactly.
+
+    Returns an object with ``.mega`` / ``.clip_samples`` / ``.pad_offset``
+    (duck-typing DeviceSegmentStore for lowering purposes), or None when the
+    store would not attach (unsupported dataset, over budget, data absent).
+    """
+    budget = int(getattr(cfg.TPU, "TRAIN_DEVICE_CACHE_MB", 0)) << 20
+    if budget <= 0:
+        return None
+    try:
+        from asf_tpu.data.build import build_dataset
+
+        split = (
+            "train+val"
+            if cfg.TRAIN.DATASET.lower().startswith("epickitchens")
+            and cfg.EPICKITCHENS.TRAIN_PLUS_VAL
+            else "train"
+        )
+        ds = build_dataset(cfg.TRAIN.DATASET, cfg, split)
+    except Exception as e:
+        logger.warning(
+            "store_lowering_spec: dataset unreachable (%s: %s) — fused "
+            "program not warmed", type(e).__name__, e,
+        )
+        return None
+    clip_samples = int(getattr(ds, "clip_samples", 0))
+    itemsize = 2 if getattr(ds, "int16", False) else 4
+    table_fn = getattr(ds, "device_store_table", None)
+    table = table_fn(budget_samples=budget // itemsize) if callable(table_fn) else None
+    if table is None:
+        return None
+    total = sum(max(0, int(n)) for _k, n in table) + clip_samples
+    if total * itemsize > budget or total >= np.iinfo(np.int32).max:
+        return None
+    import jax
+
+    from asf_tpu.parallel.mesh import replicated
+
+    class _Spec:
+        pass
+
+    spec = _Spec()
+    spec.clip_samples = clip_samples
+    spec.pad_offset = total - clip_samples
+    spec.mega = jax.ShapeDtypeStruct(
+        (total,), np.int16 if itemsize == 2 else np.float32,
+        sharding=replicated(mesh),
+    )
+    return spec
+
+
 def _macro(b, k: int):
     return {
         key: (
@@ -137,6 +193,7 @@ def _macro(b, k: int):
 def warm_compile(
     cfg, mesh, state, train_step, multi_step=None,
     metrics_step=None, eval_multi_step=None, int16: bool | None = None,
+    store=None,
 ) -> int:
     """AOT-compile every program train(cfg) dispatches, for every loader
     shape. Returns the number of programs lowered+compiled.
@@ -180,13 +237,33 @@ def warm_compile(
             )
         )
         if multi_step is not None:
-            mb = put_with(_macro(b, k), ms)
-            jobs.append(
-                (
-                    f"train K={k} {shape}",
-                    multi_step.lower(state, mb, jnp.zeros((k,), jnp.float32), rng),
+            if store is not None:
+                # Fused offset macro (TPU.FUSED_STORE_GATHER): the real loop
+                # ships wave_start int32 grids + the store's mega-buffer, so
+                # THAT is the program to pre-pay — the waveform macro never
+                # dispatches in store mode. The mega operand is the live
+                # device array: exact aval + sharding, zero extra upload.
+                fb = dict(b)
+                w = fb.pop("waveform")
+                fb["wave_start"] = np.zeros(w.shape[:-1], np.int32)
+                mb = put_with(_macro(fb, k), ms)
+                jobs.append(
+                    (
+                        f"train K={k} fused {shape}",
+                        multi_step.lower(
+                            state, mb, jnp.zeros((k,), jnp.float32), rng,
+                            store.mega,
+                        ),
+                    )
                 )
-            )
+            else:
+                mb = put_with(_macro(b, k), ms)
+                jobs.append(
+                    (
+                        f"train K={k} {shape}",
+                        multi_step.lower(state, mb, jnp.zeros((k,), jnp.float32), rng),
+                    )
+                )
         if metrics_step is not None:
             mask = put_with(np.ones((batch_size,), np.float32), bs)
             jobs.append(

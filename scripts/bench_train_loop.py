@@ -202,7 +202,15 @@ def main():
     )
     train_step = make_train_step(cfg, model, lazy.tx)
     k = int(cfg.TPU.STEPS_PER_DISPATCH)
-    multi_step = make_train_multi_step(cfg, model, lazy.tx) if k > 1 else None
+    store_obj = getattr(loader, "device_store", None)
+    fused = bool(cfg.TPU.FUSED_STORE_GATHER) and store_obj is not None
+    multi_step = (
+        make_train_multi_step(
+            cfg, model, lazy.tx, store=store_obj if fused else None
+        )
+        if k > 1
+        else None
+    )
     meter = build_train_meter(cfg, len(loader))
     print(f"STEPS_PER_DISPATCH={k}")
 
@@ -240,7 +248,7 @@ def main():
     ms_sh = macro_batch_sharding(mesh)
     pf = DevicePrefetcher(iter(loader), depth=2, sharding=None,
                           group=k, macro_sharding=ms_sh,
-                          store=getattr(loader, "device_store", None))
+                          store=store_obj, fuse_store=fused)
     macros = []
     for kind, payload, _lr in pf:
         if kind == "macro":
@@ -256,11 +264,14 @@ def main():
 
     n_disp = 12
     lrs = jnp.asarray(np.full((k,), 0.1, np.float32))
-    state, _parts, _ = multi_step(state, macros[0], lrs, rng)  # settle
+    mega = (store_obj.mega,) if fused else ()
+    state, _parts, _ = multi_step(state, macros[0], lrs, rng, *mega)  # settle
     float(_parts["loss"][0])
     t0 = time.perf_counter()
     for i in range(n_disp):
-        state, parts, stats = multi_step(state, macros[i % len(macros)], lrs, rng)
+        state, parts, stats = multi_step(
+            state, macros[i % len(macros)], lrs, rng, *mega
+        )
     float(state.step)  # host read: block_until_ready resolves early (relay)
     dt = time.perf_counter() - t0
     clips = n_disp * k * BATCH

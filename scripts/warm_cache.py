@@ -98,7 +98,25 @@ def main(argv=None):
     )
 
     train_step = make_train_step(cfg, model, lazy.tx)
-    multi_step = make_train_multi_step(cfg, model, lazy.tx) if k > 1 else None
+    # A store-mode run (TPU.TRAIN_DEVICE_CACHE_MB + FUSED_STORE_GATHER)
+    # dispatches the FUSED offset-macro program; recover the exact mega aval
+    # from the dataset's segment table (no audio read) so the warmed compile
+    # key matches the real run's.
+    store_spec = None
+    if k > 1 and bool(getattr(cfg.TPU, "FUSED_STORE_GATHER", True)):
+        from asf_tpu.engine.warmup import store_lowering_spec
+
+        store_spec = store_lowering_spec(cfg, mesh)
+        if store_spec is not None:
+            print(
+                f"[warm] fused store program: mega {store_spec.mega.shape} "
+                f"{store_spec.mega.dtype}", flush=True,
+            )
+    multi_step = (
+        make_train_multi_step(cfg, model, lazy.tx, store=store_spec)
+        if k > 1
+        else None
+    )
     eval_step = make_eval_step(cfg, model)
     metrics_step = make_eval_metrics_step(cfg, model)
     eval_multi = make_eval_multi_step(cfg, model) if k > 1 else None
@@ -108,7 +126,7 @@ def main(argv=None):
     # cache keys by construction.
     n = warm_compile(
         cfg, mesh, state, train_step, multi_step, metrics_step, eval_multi,
-        int16=int16,
+        int16=int16, store=store_spec,
     )
 
     ms = macro_batch_sharding(mesh)

@@ -272,6 +272,37 @@ def test_slide_whole_video_store_bit_identical(tmp_path):
     }
 
 
+def test_gather_in_graph_inside_scan_matches_store_gather():
+    """The fused dispatch's per-step gather (gather_in_graph inside lax.scan,
+    engine/steps.py make_train_multi_step(store=...)) must equal the store's
+    standalone macro gather bit-for-bit — for (K, B) clip offsets and
+    (K, B, Nb) GRU window grids."""
+    import jax.numpy as jnp
+
+    from asf_tpu.data.device_store import DeviceSegmentStore, gather_in_graph
+
+    rng = np.random.default_rng(0)
+    S = 37
+    mega_np = np.concatenate(
+        [rng.integers(-3000, 3000, 500, dtype=np.int16), np.zeros(S, np.int16)]
+    )
+    store = DeviceSegmentStore(mega_np, {0: 0}, S, mesh=None)
+
+    for shape in [(3, 4), (3, 2, 5)]:  # (K, B) and (K, B, Nb)
+        starts = rng.integers(0, 500 - S, shape).astype(np.int32)
+        n_valid = rng.integers(1, S + 1, shape).astype(np.int32)
+        want = np.asarray(store.gather(starts, n_valid, macro=True))
+
+        def body(_, xs):
+            s, nv = xs
+            return None, gather_in_graph(store.mega, s, nv, S)
+
+        _, got = jax.jit(
+            lambda s, nv: jax.lax.scan(body, None, (s, nv))
+        )(jnp.asarray(starts), jnp.asarray(n_valid))
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_store_guards(tmp_path):
     from asf_tpu.data.device_store import DeviceSegmentStore
 
@@ -354,10 +385,14 @@ def test_gru_store_batches_bit_identical(tmp_path, int16):
     check(single, want[2])
 
 
-def test_train_epoch_with_store_matches_streaming(tmp_path):
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "resolve"])
+def test_train_epoch_with_store_matches_streaming(tmp_path, fused):
     """End-to-end: one train_epoch with the store attached produces the same
     final params as the streaming loop (inputs are bit-identical, so the
-    jitted updates are too)."""
+    jitted updates are too) — through BOTH store dispatch modes: the fused
+    offset-macro path (TPU.FUSED_STORE_GATHER: wave_start + mega operand,
+    in-graph gather per scan step) and the r3 resolve path (prefetch-thread
+    gather program)."""
     from asf_tpu.data.device_store import DeviceSegmentStore
     from asf_tpu.engine.steps import (
         TrainState,
@@ -373,6 +408,7 @@ def test_train_epoch_with_store_matches_streaming(tmp_path):
     ds, cfg = _dataset(tmp_path)
     cfg.TPU.STEPS_PER_DISPATCH = 2
     cfg.TPU.PREFETCH_DEPTH = 2
+    cfg.TPU.FUSED_STORE_GATHER = fused
     cfg.LOG_PERIOD = 2
     cfg.TRAIN.BATCH_SIZE = 2
     mesh = make_mesh(cfg)
@@ -387,6 +423,7 @@ def test_train_epoch_with_store_matches_streaming(tmp_path):
     def run(with_store):
         ds.set_epoch(0)
         loader = _loader(ds, cfg)
+        store = None
         if with_store:
             store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=mesh)
             assert store is not None
@@ -404,7 +441,10 @@ def test_train_epoch_with_store_matches_streaming(tmp_path):
             make_train_step(cfg, model, lazy.tx),
             build_train_meter(cfg, len(loader)), 0, cfg, mesh,
             jax.random.PRNGKey(1),
-            multi_step=make_train_multi_step(cfg, model, lazy.tx),
+            multi_step=make_train_multi_step(
+                cfg, model, lazy.tx,
+                store=store if fused else None,  # mirrors train(cfg)
+            ),
         )
         return jax.tree.map(np.asarray, state.params)
 

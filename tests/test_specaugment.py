@@ -58,6 +58,26 @@ def test_interpolate_spline_matches_numpy():
     np.testing.assert_allclose(at_pts, vals, rtol=1e-2, atol=1e-2)
 
 
+def test_interpolate_spline_single_point_closed_form_matches_lu():
+    """n == 1 (SpecAugment's warp): the closed-form block elimination in
+    interpolate_spline must match the float64 LU solve of the same ridged
+    system — the LuDecompositionBlock custom-call it replaces cost ~230 us
+    per train step (PROFILE.md)."""
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        pts = rng.uniform(0, 128, (1, 2))
+        vals = rng.uniform(-5, 5, (1, 2))
+        queries = rng.uniform(0, 400, (64, 2))
+        want = _np_spline(pts, vals, queries)
+        got = np.asarray(
+            interpolate_spline(
+                jnp.asarray(pts, jnp.float32), jnp.asarray(vals, jnp.float32),
+                jnp.asarray(queries, jnp.float32),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_bilinear_identity_and_shift():
     img = jnp.asarray(np.arange(20, dtype=np.float32).reshape(4, 5))
     h, w = img.shape
