@@ -414,6 +414,108 @@ class EpicKitchens:
         video, a, b = key
         return self._read_region(video, a, b)
 
+    # -- vectorized ref batches (fast_rng bulk sampler) ----------------------
+    def ref_seg_keys(self):
+        """Unique segment keys in ``get_refs_batch``'s ``seg_idx`` order
+        (None for GRU format, whose store uses chain-region keys)."""
+        if self.gru_format:
+            return None
+        self._build_ref_tables()
+        return self._ref_keys
+
+    def _build_ref_tables(self):
+        """Per-index numpy tables for the vectorized ref path (regular
+        records only — GRU chains keep the scalar path). Records, labels and
+        metadata are epoch-invariant, so one pass at first use amortises all
+        the pandas/property traffic out of the per-batch cost."""
+        if getattr(self, "_ref_tables", None) is not None:
+            return
+        key_of, keys = {}, []
+        n = len(self._audio_records)
+        seg_idx = np.empty((n,), np.int32)
+        start_s = np.empty((n,), np.int64)
+        num_s = np.empty((n,), np.int64)
+        labels = None
+        metadata = None
+        for i, rec in enumerate(self._audio_records):
+            a = int(rec.start_audio_sample)
+            nas = int(rec.num_audio_samples)
+            key = (rec.untrimmed_video_name, a, a + max(0, nas))
+            j = key_of.get(key)
+            if j is None:
+                j = key_of[key] = len(keys)
+                keys.append(key)
+            seg_idx[i] = j
+            start_s[i] = a
+            num_s[i] = nas
+            lab, md = rec.label, rec.metadata
+            if labels is None:
+                labels = {k: [] for k in lab}
+                metadata = {k: [] for k in md}
+            for k, v in lab.items():
+                labels[k].append(np.asarray(v))
+            for k, v in md.items():
+                metadata[k].append(v)
+        labels = {k: np.asarray(np.stack(v)) for k, v in labels.items()}
+        self._ref_keys = keys
+        self._ref_tables = (
+            seg_idx, start_s, num_s,
+            np.asarray(self._temporal_idx, np.int64), labels, metadata,
+        )
+
+    def get_refs_batch(self, indices: np.ndarray):
+        """Vectorized ``get_ref`` over a batch — the identical clip placement
+        (fast_rng replays ``item_rng(...).uniform`` bit-exactly; the
+        float64 ``a + u`` sum and its floor are computed exactly as
+        ``get_start_end_idx``/``_clip_for_record`` do) without per-item
+        Python. None -> scalar fallback (GRU format, exotic seed/epoch)."""
+        if self.gru_format:
+            return None
+        if not (0 <= int(self.cfg.RNG_SEED) < 2**32 and 0 <= self._epoch < 2**32):
+            return None
+        from .fast_rng import bulk_first_uniform
+
+        self._build_ref_tables()
+        seg_idx, start_s, num_s, temporal_idx, labels, metadata = self._ref_tables
+        indices = np.asarray(indices, np.int64)
+        a = start_s[indices]
+        nas = num_s[indices]
+        off = np.zeros((len(indices),), np.int64)
+        n_valid = np.maximum(0, nas).astype(np.int32)
+        sampled = nas >= self.clip_size
+        if np.any(sampled):
+            delta = (nas[sampled] - self.clip_size).astype(np.float64)
+            if self.mode in ["train", "val", "train+val"]:
+                u = bulk_first_uniform(
+                    self.cfg.RNG_SEED, self._epoch, indices[sampled], delta
+                )
+            else:  # linspace(0, delta, num)[tsi], matching np.linspace exactly
+                nc = int(self.cfg.TEST.NUM_ENSEMBLE_VIEWS)
+                tsi = temporal_idx[indices][sampled]
+                if nc == 1:
+                    u = np.zeros_like(delta)
+                else:
+                    u = tsi.astype(np.float64) * (delta / (nc - 1))
+                    u[tsi == nc - 1] = delta[tsi == nc - 1]
+            # int(a + u) - a, with the sum rounded in float64 first — exactly
+            # the scalar path's arithmetic (a can be large enough that
+            # floor(a + u) != a + floor(u)).
+            off[sampled] = (
+                np.floor(a[sampled].astype(np.float64) + u).astype(np.int64)
+                - a[sampled]
+            )
+            n_valid[sampled] = self.clip_samples
+        return {
+            "seg_idx": seg_idx[indices],
+            "clip_off": off,
+            "n_valid": n_valid,
+            "labels": {k: v[indices] for k, v in labels.items()},
+            "index": indices,
+            "metadata": {
+                k: [v[i] for i in indices] for k, v in metadata.items()
+            },
+        }
+
     def get_ref(self, index: int):
         """The metadata of ``__getitem__`` WITHOUT reading audio: segment key
         + clip offset + n_valid. Consumes the identical per-item rng stream

@@ -181,6 +181,41 @@ class EpicKitchensSlide(EpicKitchens):
             ref["clip_off"] = int(ref["clip_off"]) + a
         return ref
 
+    # -- vectorized ref batches: whole-video mode stores ONE segment per
+    # video, so the inherited per-record keys/offsets remap onto it exactly
+    # as get_ref does (seg -> (video, 0, end), off -> off + record start).
+    def _slide_ref_remap(self):
+        remap = getattr(self, "_slide_remap", None)
+        if remap is None:
+            reg_keys = super().ref_seg_keys()
+            ends = self._video_seg_ends()
+            vid_of, vids = {}, []
+            video_idx = np.empty((len(reg_keys),), np.int32)
+            add_off = np.empty((len(reg_keys),), np.int64)
+            for j, (v, a, _b) in enumerate(reg_keys):
+                k = vid_of.get(v)
+                if k is None:
+                    k = vid_of[v] = len(vids)
+                    vids.append((v, 0, ends[v]))
+                video_idx[j] = k
+                add_off[j] = a
+            remap = self._slide_remap = (vids, video_idx, add_off)
+        return remap
+
+    def ref_seg_keys(self):
+        if not self._whole_video_mode():
+            return super().ref_seg_keys()
+        return self._slide_ref_remap()[0]
+
+    def get_refs_batch(self, indices):
+        arrs = super().get_refs_batch(indices)
+        if arrs is None or not self._whole_video_mode():
+            return arrs
+        _vids, video_idx, add_off = self._slide_ref_remap()
+        arrs["clip_off"] = arrs["clip_off"] + add_off[arrs["seg_idx"]]
+        arrs["seg_idx"] = video_idx[arrs["seg_idx"]]
+        return arrs
+
     def _construct_loader_action_bounds(self, per_instance: bool = False):
         cfg = self.cfg
         for file in self.path_annotations_pickle:

@@ -148,6 +148,7 @@ class AsfLoader:
         # carry int32 clip offsets instead of waveforms and the prefetcher
         # gathers the audio from HBM — the per-epoch H2D wire disappears.
         self.device_store = None
+        self._store_bases = None
         # One pool for the loader's LIFETIME, not per epoch: datasets keep a
         # per-thread h5py handle in threading.local, so fresh threads every
         # epoch would open NUM_WORKERS new HDF5 handles per epoch and leak
@@ -207,6 +208,45 @@ class AsfLoader:
     def attach_store(self, store) -> None:
         """Switch this loader to offset batches resolved by ``store``."""
         self.device_store = store
+        self._store_bases = None
+
+    def _ref_base_arr(self) -> Optional[np.ndarray]:
+        """Mega-buffer base offset per ``ref_seg_keys`` entry (cached) — the
+        lookup that turns a vectorized ref batch's ``seg_idx`` into absolute
+        ``wave_start`` offsets without per-item ``store.base`` calls."""
+        if self._store_bases is None:
+            keys_fn = getattr(self.dataset, "ref_seg_keys", None)
+            keys = keys_fn() if keys_fn is not None else None
+            if keys is None:
+                return None
+            self._store_bases = np.asarray(
+                [self.device_store.base(k) for k in keys], np.int64
+            )
+        return self._store_bases
+
+    def _refs_batch_vec(self, chunk: np.ndarray) -> Optional[Dict[str, Any]]:
+        """One offset batch via the dataset's vectorized ref path
+        (``get_refs_batch`` + fast_rng), bit-identical to
+        ``collate_refs(pool.map(get_ref, chunk))`` (tests/test_fast_rng.py)
+        but free of the per-item Python that dominates store-mode host time
+        on few-core hosts (PROFILE.md §0c). None -> scalar fallback."""
+        fn = getattr(self.dataset, "get_refs_batch", None)
+        if fn is None:
+            return None
+        arrs = fn(chunk)
+        if arrs is None:
+            return None
+        bases = self._ref_base_arr()
+        if bases is None:
+            return None
+        start = bases[arrs["seg_idx"]] + arrs["clip_off"]
+        return {
+            "wave_start": start.astype(np.int32),
+            "n_valid": arrs["n_valid"],
+            "labels": arrs["labels"],
+            "index": arrs["index"],
+            "metadata": arrs["metadata"],
+        }
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idx = self._indices()
@@ -219,6 +259,10 @@ class AsfLoader:
                 chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
                 if len(chunk) == 0:
                     break
+                batch = self._refs_batch_vec(chunk)
+                if batch is not None:
+                    yield batch
+                    continue
                 items = list(pool.map(self.dataset.get_ref, chunk))
                 yield collate_refs(
                     items, self.device_store,

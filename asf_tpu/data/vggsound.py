@@ -172,6 +172,81 @@ class Vggsound:
         )
         return samples
 
+    # -- vectorized ref batches (fast_rng bulk sampler) ----------------------
+    def ref_seg_keys(self) -> list:
+        """Unique segment keys in the order ``get_refs_batch``'s ``seg_idx``
+        refers to (built together with the per-index tables)."""
+        self._build_ref_tables()
+        return self._ref_keys
+
+    def _build_ref_tables(self):
+        if getattr(self, "_ref_tables", None) is not None:
+            return
+        key_of, keys = {}, []
+        n = len(self._audio_records)
+        seg_idx = np.empty((n,), np.int32)
+        class_id = np.empty((n,), np.int64)
+        for i, rec in enumerate(self._audio_records):
+            name = self._wav_name(rec)
+            j = key_of.get(name)
+            if j is None:
+                j = key_of[name] = len(keys)
+                keys.append(name)
+            seg_idx[i] = j
+            class_id[i] = rec["class_id"]
+        n_samples = np.asarray([self._file_len(k) for k in keys], np.int64)
+        self._ref_keys = keys
+        self._ref_tables = (seg_idx, class_id, n_samples,
+                            np.asarray(self._temporal_idx, np.int64))
+
+    def get_refs_batch(self, indices: np.ndarray):
+        """Vectorized ``get_ref`` over a batch of indices — identical clip
+        placement (fast_rng replays the per-item Generator draws bit-exactly)
+        without the ~45 µs/item SeedSequence+Generator construction or the
+        per-item dict/pandas traffic. Returns the arrays ``AsfLoader``
+        collates into an offset batch, or None to fall back to the scalar
+        path (seed/epoch outside the vectorizable range)."""
+        from .fast_rng import bulk_first_uniform
+
+        if not (0 <= int(self.cfg.RNG_SEED) < 2**32 and 0 <= self._epoch < 2**32):
+            return None
+        self._build_ref_tables()
+        seg_idx, class_id, n_samples, temporal_idx = self._ref_tables
+        indices = np.asarray(indices, np.int64)
+        si = seg_idx[indices]
+        ns = n_samples[si]
+        off = np.zeros((len(indices),), np.int64)
+        n_valid = np.minimum(ns, self.clip_samples).astype(np.int32)
+        sampled = ns >= self.clip_size
+        if np.any(sampled):
+            ns_s = ns[sampled].astype(np.float64)
+            delta = ns_s - self.clip_size
+            if self.mode in ["train", "val"]:
+                start = bulk_first_uniform(
+                    self.cfg.RNG_SEED, self._epoch, indices[sampled], delta
+                )
+            else:  # linspace(0, delta, num)[tsi], matching np.linspace exactly
+                nc = int(self._num_clips)
+                tsi = temporal_idx[indices][sampled]
+                if nc == 1:
+                    start = np.zeros_like(delta)
+                else:
+                    start = tsi.astype(np.float64) * (delta / (nc - 1))
+                    start[tsi == nc - 1] = delta[tsi == nc - 1]
+            end = start + (self.clip_size - 1)
+            off[sampled] = np.floor(start).astype(np.int64)
+            n_valid[sampled] = np.minimum(
+                np.floor(end) - np.floor(start), self.clip_samples
+            ).astype(np.int32)
+        return {
+            "seg_idx": si,
+            "clip_off": off,
+            "n_valid": n_valid,
+            "labels": {"class_id": class_id[indices]},
+            "index": indices,
+            "metadata": {},
+        }
+
     def get_ref(self, index: int):
         """``__getitem__``'s clip placement without decoding audio: same rng
         derivation, same short-file clamp — the store gather of the decoded
