@@ -417,9 +417,10 @@ class EpicKitchens:
     # -- vectorized ref batches (fast_rng bulk sampler) ----------------------
     def ref_seg_keys(self):
         """Unique segment keys in ``get_refs_batch``'s ``seg_idx`` order
-        (None for GRU format, whose store uses chain-region keys)."""
+        (chain-region keys for GRU format). None when no records exist."""
         if self.gru_format:
-            return None
+            self._build_gru_ref_tables()
+            return self._gru_ref_keys
         self._build_ref_tables()
         return self._ref_keys
 
@@ -432,6 +433,9 @@ class EpicKitchens:
             return
         key_of, keys = {}, []
         n = len(self._audio_records)
+        if n == 0:  # labels/metadata keys are undefined — scalar path only
+            self._ref_keys = None
+            return
         seg_idx = np.empty((n,), np.int32)
         start_s = np.empty((n,), np.int64)
         num_s = np.empty((n,), np.int64)
@@ -452,6 +456,12 @@ class EpicKitchens:
             if labels is None:
                 labels = {k: [] for k in lab}
                 metadata = {k: [] for k in md}
+            elif lab.keys() != labels.keys() or md.keys() != metadata.keys():
+                raise ValueError(
+                    f"record {i} label/metadata keys differ from record 0 — "
+                    "heterogeneous records cannot batch (collate assumes one "
+                    "schema per dataset)"
+                )
             for k, v in lab.items():
                 labels[k].append(np.asarray(v))
             for k, v in md.items():
@@ -463,19 +473,134 @@ class EpicKitchens:
             np.asarray(self._temporal_idx, np.int64), labels, metadata,
         )
 
+    def _build_gru_ref_tables(self):
+        """Per-index numpy tables for the GRU-chain vectorized ref path.
+
+        Chain window placement is fully DETERMINISTIC given the record
+        (windows advance by 1 s of samples — pack_audio_gru,
+        /root/reference/audio_slowfast/datasets/audio_loader_epic_gru.py:47 —
+        no rng at all), so the whole per-item cost of ``_get_ref_gru`` is
+        record-property/pandas traffic that one table pass amortises away
+        (VERDICT r4 next-step #3)."""
+        if getattr(self, "_gru_ref_tables", None) is not None:
+            return
+        n = len(self._audio_records)
+        if n == 0:
+            self._gru_ref_keys = None
+            return
+        key_of, keys = {}, []
+        seg_idx = np.empty((n,), np.int32)
+        seg_start = np.empty((n,), np.int64)
+        num_s = np.empty((n,), np.int64)
+        n_windows = np.empty((n,), np.int32)
+        vid_len = np.empty((n,), np.int64)
+        labels = None
+        metadata = None
+        embeddings = None
+        vid_len_of = {}
+        for i, rec in enumerate(self._audio_records):
+            nw, a, b = self._gru_region(rec)
+            key = (rec.untrimmed_video_name, a, b)
+            j = key_of.get(key)
+            if j is None:
+                j = key_of[key] = len(keys)
+                keys.append(key)
+            seg_idx[i] = j
+            seg_start[i] = a
+            num_s[i] = int(rec.num_audio_samples)
+            n_windows[i] = nw
+            vl = vid_len_of.get(rec.untrimmed_video_name)
+            if vl is None:
+                vl = vid_len_of[rec.untrimmed_video_name] = self._video_len(
+                    rec.untrimmed_video_name
+                )
+            vid_len[i] = vl
+            lab, md = rec.label, rec.metadata
+            if labels is None:
+                labels = {k: [] for k in lab}
+                metadata = {k: [] for k in md}
+            elif lab.keys() != labels.keys() or md.keys() != metadata.keys():
+                raise ValueError(
+                    f"record {i} label/metadata keys differ from record 0 — "
+                    "heterogeneous records cannot batch (collate assumes one "
+                    "schema per dataset)"
+                )
+            for k, v in lab.items():
+                labels[k].append(np.asarray(v))
+            for k, v in md.items():
+                metadata[k].append(v)
+            if isinstance(rec, EpicKitchensAudioRecordGRU):
+                emb = rec.noun_embedding
+                if embeddings is None:
+                    embeddings = np.zeros((n, 512), np.float32)
+                if emb.size:
+                    embeddings[i] = emb.astype(np.float32)
+        labels = {k: np.asarray(np.stack(v)) for k, v in labels.items()}
+        self._gru_ref_keys = keys
+        self._gru_ref_tables = (
+            seg_idx, seg_start, num_s, n_windows, vid_len,
+            labels, metadata, embeddings,
+        )
+
+    def _get_refs_batch_gru(self, indices: np.ndarray):
+        """Vectorized ``_get_ref_gru`` over a batch: (B, NB) window-offset /
+        n_valid grids at full MAX_NB_SPECTROGRAMS width, padding windows and
+        degenerate empty chunks marked ``off < 0`` (the loader maps them to
+        the mega-buffer's zero pad; tests/test_fast_rng.py asserts
+        bit-identity with ``collate_refs(pool.map(get_ref, ...))``)."""
+        self._build_gru_ref_tables()
+        if self._gru_ref_keys is None:
+            return None
+        (seg_idx, seg_start, num_s, n_windows, vid_len,
+         labels, metadata, embeddings) = self._gru_ref_tables
+        indices = np.asarray(indices, np.int64)
+        nb_full = int(self.cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS)
+        sr = self.cfg.AUDIO_DATA.SAMPLING_RATE
+        nw = n_windows[indices][:, None].astype(np.int64)      # (B, 1)
+        nas = num_s[indices][:, None]                          # (B, 1)
+        a = seg_start[indices][:, None]
+        vl = vid_len[indices][:, None]
+        w = np.arange(nb_full, dtype=np.int64)[None, :]        # (1, NB)
+        short = nas < self.clip_size
+        chunk_len = np.where(short, np.maximum(0, nas), self.clip_samples)
+        offs = np.where(short, 0, w * sr)                      # (B, NB)
+        start_i = a + offs
+        in_video = np.maximum(0, np.minimum(start_i + chunk_len, vl) - start_i)
+        n_valid = np.maximum(1, np.minimum(chunk_len, in_video)).astype(np.int32)
+        dead = (chunk_len == 0) | (w >= nw)  # empty chunks + bucket padding
+        offs = np.where(dead, -1, offs)
+        n_valid = np.where(dead, np.int32(1), n_valid)
+        out = {
+            "seg_idx": seg_idx[indices],
+            "window_offs": offs,
+            "n_valid": n_valid,
+            "lengths": n_windows[indices],
+            "labels": {k: v[indices] for k, v in labels.items()},
+            "index": indices,
+            "metadata": {
+                k: [v[i] for i in indices] for k, v in metadata.items()
+            },
+        }
+        if embeddings is not None:
+            out["noun_embedding"] = embeddings[indices]
+        return out
+
     def get_refs_batch(self, indices: np.ndarray):
         """Vectorized ``get_ref`` over a batch — the identical clip placement
         (fast_rng replays ``item_rng(...).uniform`` bit-exactly; the
         float64 ``a + u`` sum and its floor are computed exactly as
-        ``get_start_end_idx``/``_clip_for_record`` do) without per-item
-        Python. None -> scalar fallback (GRU format, exotic seed/epoch)."""
+        ``get_start_end_idx``/``_clip_for_record`` do; GRU chains are
+        deterministic offset grids) without per-item Python. None -> scalar
+        fallback (empty record list, exotic seed/epoch)."""
         if self.gru_format:
-            return None
+            return self._get_refs_batch_gru(indices)
         if not (0 <= int(self.cfg.RNG_SEED) < 2**32 and 0 <= self._epoch < 2**32):
             return None
         from .fast_rng import bulk_first_uniform
 
         self._build_ref_tables()
+        if getattr(self, "_ref_tables", None) is None:
+            return None
         seg_idx, start_s, num_s, temporal_idx, labels, metadata = self._ref_tables
         indices = np.asarray(indices, np.int64)
         a = start_s[indices]

@@ -23,6 +23,12 @@ Bit-identity with the scalar path is asserted by
 ``tests/test_fast_rng.py`` over seeds/epochs/indices/deltas, so datasets
 can vectorize ``get_ref`` batches (``get_refs_batch``) without changing a
 single sampled clip.
+
+numpy-version note: PCG64/SeedSequence streams are covered by numpy's
+stream-compatibility policy, but the replicated ``np.linspace`` step
+arithmetic in the test-mode branch of ``get_refs_batch`` has no such
+guarantee — keep ``tests/test_fast_rng.py`` in any numpy pre-upgrade gate
+(it pins the equivalence in the fast tier).
 """
 
 from __future__ import annotations
@@ -136,6 +142,11 @@ def bulk_pcg64_state(seed: int, epoch: int, indices: np.ndarray):
     n = indices.shape[0]
     if not (0 <= int(seed) < 2**32 and 0 <= int(epoch) < 2**32):
         raise ValueError("seed/epoch outside uint32 — scalar path required")
+    if n and (int(indices.min()) < 0 or int(indices.max()) >= 2**32):
+        # The scalar SeedSequence raises for negatives and SPLITS >=2**32
+        # ints into two entropy words; a silent uint32 wrap here would
+        # diverge from it. Mirror the seed/epoch guard instead.
+        raise ValueError("indices outside uint32 — scalar path required")
     cols = [
         np.full((n,), _U32(seed), _U32),
         np.full((n,), _U32(epoch), _U32),

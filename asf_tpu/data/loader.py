@@ -239,6 +239,28 @@ class AsfLoader:
         bases = self._ref_base_arr()
         if bases is None:
             return None
+        if "window_offs" in arrs:  # GRU chain grids — collate_refs bucketing
+            lengths = np.asarray(arrs["lengths"], np.int32)
+            n_max = int(lengths.max())
+            nb = bucket_windows(n_max, self.max_windows or n_max)
+            if self.single_bucket and self.max_windows:
+                nb = self.max_windows
+            offs = arrs["window_offs"][:, :nb]
+            n_valid = np.ascontiguousarray(arrs["n_valid"][:, :nb])
+            pad = self.device_store.pad_offset
+            base_col = bases[arrs["seg_idx"]][:, None]
+            starts = np.where(offs < 0, pad, base_col + offs).astype(np.int32)
+            out = {
+                "wave_start": starts,
+                "n_valid": n_valid,
+                "lengths": np.minimum(lengths, nb),
+                "labels": arrs["labels"],
+                "index": arrs["index"],
+                "metadata": arrs["metadata"],
+            }
+            if "noun_embedding" in arrs:
+                out["noun_embedding"] = arrs["noun_embedding"]
+            return out
         start = bases[arrs["seg_idx"]] + arrs["clip_off"]
         return {
             "wave_start": start.astype(np.int32),

@@ -255,36 +255,70 @@ def _emit_error(kind: str, detail: str):
     )
 
 
-def _probe_device(timeout_s: float = 120.0):
-    """None iff the backend answers a trivial reduction within timeout, else
-    a failure-detail string.
+def _probe_once(timeout_s: float):
+    """One device probe in a FRESH subprocess.
 
-    When the axon relay is down, jax.devices() hangs at enumeration forever —
-    run the probe on a side thread and give up after ``timeout_s`` (the op
-    itself is tiny; 120 s covers a cold backend handshake with margin). A
-    probe that RAISES (broken install, bad ASF_PLATFORM) is a different
-    failure from a hang — report the exception and skip the wait, so the
-    driver log points at the real component instead of a phantom outage."""
-    import threading
+    Returns None on success, "hang" on timeout, or an error string when the
+    probe process raised (broken install, bad ASF_PLATFORM) — a different
+    failure from a relay outage, reported verbatim so the driver log points
+    at the real component. A subprocess (not a thread) because a wedged jax
+    backend never recovers in-process: once ``jax.devices()`` blocks on a
+    dead relay, every later call in the same interpreter joins the same
+    stuck backend-init, so only a fresh process can observe a relay that
+    came back."""
+    import os
+    import subprocess
 
-    done = threading.Event()
-    err: list = []
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4, 4)))))"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=os.environ.copy(),
+        )
+    except subprocess.TimeoutExpired:
+        return "hang"
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-1:]
+        return f"device probe exited rc={proc.returncode}: {tail[0] if tail else '?'}"
+    return None
 
-    def _go():
-        try:
-            import jax
-            import jax.numpy as jnp
+def _probe_device(retry_budget_s: float = 34 * 60.0, per_probe_s: float = 150.0):
+    """None iff the backend answers a trivial reduction, else a detail string.
 
-            float(jnp.sum(jnp.ones((4, 4))))
-        except Exception as e:  # noqa: BLE001 — reported verbatim
-            err.append(f"device probe raised {type(e).__name__}: {e}")
-        done.set()
-
-    t = threading.Thread(target=_go, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
-        return f"device probe did not answer within {timeout_s:.0f} s"
-    return err[0] if err else None
+    The axon relay dies for hours at a time (PROFILE.md §2, r3/r4 outages);
+    a single-shot probe turned two rounds of driver BENCH captures into
+    ``relay_down``. So: keep re-probing for up to ~34 min (VERDICT r4
+    next-step #1) inside the 45-min watchdog — a warm-cache bench run needs
+    ~8 min, so a relay that returns late in the window still finishes. Each
+    probe gets 150 s: a healthy relay's per-process cold handshake alone
+    runs 60-150 s on this rig (measured r5), so shorter probes misread a
+    live relay as down. A probe that RAISES stops the retry loop
+    immediately (that failure will not heal with time)."""
+    deadline = time.monotonic() + retry_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        res = _probe_once(per_probe_s)
+        if res is None:
+            if attempt > 1:
+                print(f"probe succeeded on attempt {attempt}", file=sys.stderr)
+            return None
+        if res != "hang":
+            return res
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return (
+                f"device probe never answered: {attempt} attempts over "
+                f"{retry_budget_s / 60:.0f} min (relay down the whole window)"
+            )
+        print(
+            f"probe {attempt} hung; retrying ({remaining / 60:.1f} min left)",
+            file=sys.stderr,
+        )
+        time.sleep(min(30.0, max(0.0, remaining)))
 
 
 def main():

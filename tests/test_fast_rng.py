@@ -142,10 +142,14 @@ def test_epic_refs_batch_matches_scalar(tmp_path, mode):
         )
 
 
-def test_gru_falls_back_to_scalar(tmp_path):
-    """GRU-format datasets return None from get_refs_batch (chain refs keep
-    the scalar path) and the loader still yields correct offset batches."""
-    from asf_tpu.data.device_store import DeviceSegmentStore
+@pytest.mark.parametrize("single_bucket", [False, True])
+def test_gru_refs_batch_matches_scalar(tmp_path, single_bucket):
+    """GRU chains: the vectorized offset-grid batches (deterministic window
+    placement, no rng — VERDICT r4 next-step #3) must equal
+    ``collate_refs([get_ref(i) ...])`` bit-for-bit: window-count bucketing,
+    the off<0 zero-pad sentinels, the in-video n_valid rule, lengths and
+    noun embeddings, across shuffled epochs."""
+    from asf_tpu.data.device_store import DeviceSegmentStore, collate_refs
     from asf_tpu.data.epickitchens import EpicKitchensGRU
     from asf_tpu.data.loader import AsfLoader
 
@@ -156,13 +160,49 @@ def test_gru_falls_back_to_scalar(tmp_path):
     ds = EpicKitchensGRU(cfg, "train")
     store = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None)
     assert store is not None
-    assert ds.get_refs_batch(np.arange(2)) is None
-    ld = AsfLoader(ds, batch_size=2, shuffle=False, drop_last=True,
-                   num_workers=2, seed=0,
-                   max_windows=cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS)
+    nbmax = cfg.AUDIO_DATA.MAX_NB_SPECTROGRAMS
+    ld = AsfLoader(ds, batch_size=2, shuffle=True, drop_last=False,
+                   num_workers=2, seed=cfg.RNG_SEED, max_windows=nbmax,
+                   single_bucket=single_bucket)
     ld.attach_store(store)
-    batches = list(ld)
-    assert batches and all("wave_start" in b for b in batches)
+    for epoch in (0, 1):
+        ld.set_epoch(epoch)
+        idx = ld._indices()
+        for b in range(len(ld)):
+            chunk = idx[b * 2 : (b + 1) * 2]
+            got = ld._refs_batch_vec(chunk)
+            assert got is not None, "vectorized path must be taken"
+            want = collate_refs(
+                [ds.get_ref(int(i)) for i in chunk], store, nbmax,
+                single_bucket,
+            )
+            _check_batches(got, want)
+            np.testing.assert_array_equal(got["lengths"], want["lengths"])
+            assert got["lengths"].dtype == want["lengths"].dtype
+            assert ("noun_embedding" in got) == ("noun_embedding" in want)
+            if "noun_embedding" in want:
+                np.testing.assert_array_equal(
+                    got["noun_embedding"], want["noun_embedding"]
+                )
+
+
+def test_empty_dataset_falls_back(tmp_path):
+    """Zero-record datasets return None from get_refs_batch instead of
+    crashing on undefined label/metadata schemas (ADVICE r4 #3)."""
+    from asf_tpu.data.epickitchens import EpicKitchens, EpicKitchensGRU
+
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = tiny_cfg(root)
+    cfg.TPU.HOST_WAVEFORM_CACHE_MB = 0
+    for klass, gru in ((EpicKitchens, False), (EpicKitchensGRU, True)):
+        c = tiny_cfg(root, gru=gru)
+        c.TPU.HOST_WAVEFORM_CACHE_MB = 0
+        ds = klass(c, "train")
+        ds._audio_records = []
+        ds._ref_tables = ds._gru_ref_tables = None  # rebuild over the empty list
+        assert ds.get_refs_batch(np.asarray([], np.int64)) is None
+        assert ds.ref_seg_keys() is None
 
 
 def test_exotic_seed_falls_back(tmp_path):
