@@ -288,6 +288,11 @@ _C.TPU.GRU_SINGLE_BUCKET = True
 # compiles predictably up front (into the persistent cache) instead of
 # stalling the first dispatches / mid-epoch bucket changes.
 _C.TPU.WARM_COMPILE_ON_START = False
+# Auto-run the warm-up phase when the persistent compilation cache has no
+# marker for this config's program set (engine/warmup.py warm_marker_path) —
+# fresh configs never stall mid-epoch unannounced. Inert where no persistent
+# cache is configured (CPU backends, tests).
+_C.TPU.AUTO_WARM_ON_COLD_CACHE = True
 # Backend compiles of the warm-up program set run in this many threads
 # (PJRT compile releases the GIL; the work is backend-side) — cold-start
 # wall clock tends to max(program) instead of sum(programs).

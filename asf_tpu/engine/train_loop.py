@@ -431,20 +431,42 @@ def train(cfg):
         else None
     )
 
-    if cfg.TPU.WARM_COMPILE_ON_START:
-        from .warmup import warm_compile
+    from .warmup import warm_compile, warm_marker_path
 
+    _int16 = bool(getattr(train_loader.dataset, "int16", False))
+    _marker = warm_marker_path(cfg, int16=_int16)
+    do_warm = bool(cfg.TPU.WARM_COMPILE_ON_START)
+    if (
+        not do_warm
+        and bool(getattr(cfg.TPU, "AUTO_WARM_ON_COLD_CACHE", False))
+        and _marker is not None
+        and not _marker.exists()
+    ):
+        # Cold persistent cache for this config: without warm-up the first
+        # dispatch (and, for bucketed GRU runs, every fresh window count)
+        # stalls for minutes unannounced. Pay it up front instead.
+        do_warm = True
+        logger.info(
+            "Persistent compilation cache is cold for this config — "
+            "auto-running the warm-up phase (multi-minute compiles paid "
+            "predictably now instead of at the first dispatches; disable "
+            "with TPU.AUTO_WARM_ON_COLD_CACHE=False)"
+        )
+    if do_warm:
         t0 = time.time()
         n_warm = warm_compile(
             cfg, mesh, state, train_step, multi_step,
             eval_metrics_step, eval_multi_step,
-            int16=bool(getattr(train_loader.dataset, "int16", False)),
+            int16=_int16,
             store=getattr(train_loader, "device_store", None) if _fuse else None,
         )
         logger.info(
             "Warm-up compiled %d programs in %.0fs (persistent-cache hot "
             "for this config)", n_warm, time.time() - t0,
         )
+        if _marker is not None:
+            _marker.parent.mkdir(parents=True, exist_ok=True)
+            _marker.write_text(f"warmed {n_warm} programs\n")
 
     train_meter = build_train_meter(cfg, len(train_loader))
     val_meter = build_val_meter(cfg, len(val_loader))

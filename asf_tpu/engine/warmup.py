@@ -74,6 +74,49 @@ def gru_buckets(cfg) -> list[int]:
     return sorted(set(buckets))
 
 
+def warm_marker_path(cfg, int16: bool):
+    """Marker file recording that this config's dispatch-program set was
+    warmed into the persistent compilation cache — the cold-cache detector
+    behind ``TPU.AUTO_WARM_ON_COLD_CACHE`` (VERDICT r4 next-step #5: fresh
+    configs must never stall mid-epoch unannounced).
+
+    Returns None when no persistent cache is configured (CPU runs, tests —
+    ``jax_setup.enable_compilation_cache`` skips CPU backends), so auto-warm
+    stays inert there. The digest keys everything that shapes the compiled
+    programs (model geometry, batch shapes/dtypes, K, solver, the TPU compute
+    flags, backend + device count + jax version); over-keying only costs a
+    redundant warm-up, never a missed program."""
+    import jax
+
+    cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if not cache_dir:
+        return None
+    import hashlib
+    from pathlib import Path
+
+    shapes = [
+        sorted(
+            (k, list(v.shape), str(v.dtype))
+            for k, v in b.items()
+            if hasattr(v, "shape")
+        )
+        for b in canonical_batches(cfg, int(cfg.TRAIN.BATCH_SIZE), int16=int16)
+    ]
+    key = "\n".join(
+        [
+            f"jax={jax.__version__}",
+            f"backend={jax.default_backend()}",
+            f"ndev={jax.device_count()}",
+            f"shapes={shapes!r}",
+            str(cfg.MODEL), str(cfg.RESNET), str(cfg.SLOWFAST),
+            str(cfg.AUDIO_DATA), str(cfg.BN), str(cfg.SOLVER), str(cfg.TPU),
+            f"train_bs={cfg.TRAIN.BATCH_SIZE}",
+        ]
+    )
+    digest = hashlib.sha1(key.encode()).hexdigest()[:24]
+    return Path(cache_dir) / "asf_warm_markers" / digest
+
+
 def canonical_batches(cfg, batch_size: int, int16: bool | None = None):
     """Zero batches with the exact shapes/dtypes the loaders collate."""
     clip = int(round(cfg.AUDIO_DATA.SAMPLING_RATE * cfg.AUDIO_DATA.CLIP_SECS)) - 1

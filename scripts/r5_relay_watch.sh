@@ -6,7 +6,7 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 for i in $(seq 1 200); do
   if timeout 150 python -c "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4,4)))))" >/dev/null 2>&1; then
     echo "[$(date -u +%H:%M:%S)] relay UP after $i probes — starting sweep"
-    bash scripts/r5_tpu_sweep.sh
+    ASF_SKIP_PROBE=1 bash scripts/r5_tpu_sweep.sh
     exit $?
   fi
   echo "[$(date -u +%H:%M:%S)] probe $i: relay down"

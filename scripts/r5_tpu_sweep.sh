@@ -35,11 +35,16 @@ run_step() {
   return $rc
 }
 
-if ! timeout 150 python -c "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4,4)))))" >/dev/null 2>&1; then
-  note "ABORT: relay probe failed — TPU unreachable"
-  exit 1
+# ASF_SKIP_PROBE=1: launched by a watcher that JUST probed successfully —
+# a redundant back-to-back probe can starve on this 1-core host and
+# misread a live relay as down.
+if [ "${ASF_SKIP_PROBE:-0}" != "1" ]; then
+  if ! timeout 150 python -c "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4,4)))))" >/dev/null 2>&1; then
+    note "ABORT: relay probe failed — TPU unreachable"
+    exit 1
+  fi
+  note "relay probe OK"
 fi
-note "relay probe OK"
 
 run_step bench 3000 python bench.py
 
