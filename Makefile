@@ -6,7 +6,7 @@
 PY ?= python
 CFG_DIR = models/asf/config
 
-.PHONY: lint test-code test-pallas bench train-% test-% slide-%
+.PHONY: lint test-code test-pallas bench bench-smoke train-% test-% slide-%
 
 lint:
 	$(PY) -m ruff check asf_tpu tests scripts || true
@@ -16,6 +16,15 @@ test-code:
 
 bench:
 	$(PY) bench.py
+
+# CPU smoke of the TPU bench matrix (VERDICT r4 #4): every loader mode x
+# dataset x K the sweep drives must reach its report line on tiny geometry
+# BEFORE a scarce TPU window pays for a script bug. ~6 min on the 1-core host.
+bench-smoke:
+	ASF_SMOKE=1 ASF_PLATFORM=cpu ASF_CPU_DEVICES=1 ASF_BENCH_K=16 $(PY) scripts/bench_train_loop.py
+	ASF_SMOKE=1 ASF_PLATFORM=cpu ASF_CPU_DEVICES=1 ASF_BENCH_DEVSTORE=0 $(PY) scripts/bench_train_loop.py
+	ASF_SMOKE=1 ASF_PLATFORM=cpu ASF_CPU_DEVICES=1 ASF_BENCH_DATASET=epic $(PY) scripts/bench_train_loop.py
+	ASF_SMOKE=1 ASF_PLATFORM=cpu ASF_CPU_DEVICES=1 ASF_BENCH_DATASET=gru ASF_BENCH_BATCH=4 $(PY) scripts/bench_train_loop.py
 
 # --- experiment training targets (reference `train-*`) ---
 train-asf: ; $(PY) main.py --config $(CFG_DIR)/SLOWFAST_R50.yaml --train

@@ -54,4 +54,9 @@ run_step trainloop_epic 3600 env ASF_BENCH_BATCH=128 ASF_BENCH_DATASET=epic pyth
 
 run_step trainloop_k32 7200 env ASF_BENCH_BATCH=128 ASF_BENCH_K=32 python scripts/bench_train_loop.py
 
+# GRU store-mode real loop with the vectorized window-grid ref path
+# (VERDICT #3 "Done": real loop within ~25% of its loop-resident bound).
+# Batch 32 x <=4 windows ~= the regular bench's 128 clip-equivalents.
+run_step trainloop_gru 5400 env ASF_BENCH_BATCH=32 ASF_BENCH_DATASET=gru python scripts/bench_train_loop.py
+
 note "sweep complete — logs in $LOGS"
