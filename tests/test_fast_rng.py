@@ -220,3 +220,50 @@ def test_exotic_seed_falls_back(tmp_path):
     cfg.RNG_SEED = 2**40
     ds = Vggsound(cfg, "train")
     assert ds.get_refs_batch(np.arange(2)) is None
+
+
+def test_out_of_range_indices_raise():
+    """Indices outside uint32 must raise, not silently wrap: the scalar
+    SeedSequence raises for negatives and SPLITS >=2**32 ints into two
+    entropy words, so a uint32 cast would diverge bit-wise (ADVICE r4 #1)."""
+    from asf_tpu.data.fast_rng import bulk_pcg64_state
+
+    with pytest.raises(ValueError, match="indices outside uint32"):
+        bulk_pcg64_state(1, 0, np.asarray([0, -1], np.int64))
+    with pytest.raises(ValueError, match="indices outside uint32"):
+        bulk_pcg64_state(1, 0, np.asarray([2**32], np.int64))
+    # In-range boundary values still vectorize.
+    s_hi, s_lo, _, _ = bulk_pcg64_state(1, 0, np.asarray([0, 2**32 - 1], np.int64))
+    assert s_hi.shape == s_lo.shape == (2,)
+
+
+def test_heterogeneous_label_keys_raise(tmp_path):
+    """Records whose label/metadata schemas differ cannot batch — the table
+    builder must fail loudly instead of KeyError/ragged-stack later
+    (ADVICE r4 #3)."""
+    from asf_tpu.data.epickitchens import EpicKitchens
+
+    root = str(tmp_path)
+    make_epic_fixture(root)
+    cfg = tiny_cfg(root)
+    cfg.TPU.HOST_WAVEFORM_CACHE_MB = 0
+    ds = EpicKitchens(cfg, "train")
+
+    class OddRecord:
+        """Wraps a real record but reports a divergent label schema."""
+
+        def __init__(self, rec):
+            self._rec = rec
+
+        def __getattr__(self, name):
+            return getattr(self._rec, name)
+
+        @property
+        def label(self):
+            return {"weird_key": 0}
+
+    assert len(ds._audio_records) >= 2
+    ds._audio_records[1] = OddRecord(ds._audio_records[1])
+    ds._ref_tables = None
+    with pytest.raises(ValueError, match="keys differ"):
+        ds.get_refs_batch(np.arange(2))
