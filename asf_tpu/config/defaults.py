@@ -350,6 +350,14 @@ _C.TPU.TRAIN_DEVICE_CACHE_MB = 2048
 # record gathers from ONE stored segment, so the test H2D wire drops by the
 # view count (and to zero after the store build). Same auto-disable guards.
 _C.TPU.TEST_DEVICE_CACHE_MB = 2048
+# Bucket the segment store's mega-buffer capacity: next power of two below
+# this quantum, next quantum multiple above it. The fused K-scan train
+# program bakes the mega SHAPE into its compile key, so exact sizing
+# recompiles the whole dispatch (~500 s, PROFILE.md §0d-2) whenever the
+# dataset grows; bucketed capacity keeps the key stable and lets
+# scripts/warm_cache.py / the AOT warm-up key-match real runs. The tail is
+# zeros (gather-correct); cost is a one-time H2D upload of the pad. 0 = exact.
+_C.TPU.STORE_CAPACITY_QUANTUM_MB = 128
 # Fuse the store gather INTO the K-step train dispatch: macro batches ship
 # wave_start offsets and each scan step gathers its (B, S) waveform in-graph
 # (steps.py make_train_multi_step(store=...)) — one relay dispatch per K

@@ -52,6 +52,38 @@ from asf_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def quantized_total(total: int, itemsize: int, budget_bytes: int,
+                    quantum_bytes: int) -> int:
+    """Round the mega-buffer sample count up to the capacity quantum.
+
+    The fused train program bakes the mega shape into its compile key, so an
+    exactly-sized buffer recompiles the K-scanned dispatch whenever the
+    dataset grows (a 503 s hit measured in PROFILE.md §0d-2). Rounding the
+    capacity up to ``TPU.STORE_CAPACITY_QUANTUM_MB`` keeps the compile key
+    stable across dataset sizes in the same bucket and lets
+    ``scripts/warm_cache.py`` / the AOT warm-up key-match real runs; the
+    extra tail is zeros (gather-correct: any offset into it reads pad).
+    Two regimes so tiny (test/dev) stores don't balloon to the quantum:
+    below ``quantum_bytes`` the capacity rounds up to the next power of two
+    (waste ≤2×, still bucket-stable); at or above it, up to the next quantum
+    multiple (waste ≤ quantum). Falls back to the exact size when the
+    rounded buffer would exceed the budget or int32 addressing.
+    """
+    if quantum_bytes <= 0:
+        return total
+    tb = total * itemsize
+    if tb < quantum_bytes:
+        cap = 1
+        while cap < tb:
+            cap <<= 1
+    else:
+        cap = ((tb + quantum_bytes - 1) // quantum_bytes) * quantum_bytes
+    tq = max(cap // itemsize, total)
+    if tq * itemsize > budget_bytes or tq >= np.iinfo(np.int32).max:
+        return total
+    return tq
+
+
 class DeviceSegmentStore:
     """One device-resident buffer of all record segments + a gather program.
 
@@ -92,7 +124,8 @@ class DeviceSegmentStore:
 
     # -- build ---------------------------------------------------------------
     @classmethod
-    def try_build(cls, dataset, budget_bytes: int, mesh=None) -> Optional["DeviceSegmentStore"]:
+    def try_build(cls, dataset, budget_bytes: int, mesh=None,
+                  quantum_bytes: int = 0) -> Optional["DeviceSegmentStore"]:
         if budget_bytes <= 0:
             return None
         clip_samples = int(getattr(dataset, "clip_samples", 0))
@@ -121,6 +154,7 @@ class DeviceSegmentStore:
         if total >= np.iinfo(np.int32).max:
             logger.warning("Device segment store disabled: >2^31 samples")
             return None
+        total = quantized_total(total, itemsize, budget_bytes, quantum_bytes)
 
         dtype = np.int16 if itemsize == 2 else np.float32
         mega = np.zeros((total,), dtype)

@@ -200,6 +200,7 @@ def test(cfg):
             test_loader.dataset,
             int(cfg.TPU.TEST_DEVICE_CACHE_MB) << 20,
             mesh,
+            quantum_bytes=int(getattr(cfg.TPU, "STORE_CAPACITY_QUANTUM_MB", 0)) << 20,
         )
         if _store is not None:
             test_loader.attach_store(_store)

@@ -390,6 +390,7 @@ def train(cfg):
             train_loader.dataset,
             int(cfg.TPU.TRAIN_DEVICE_CACHE_MB) << 20,
             mesh,
+            quantum_bytes=int(getattr(cfg.TPU, "STORE_CAPACITY_QUANTUM_MB", 0)) << 20,
         )
         if _store is not None:
             train_loader.attach_store(_store)

@@ -205,6 +205,12 @@ def store_lowering_spec(cfg, mesh):
     total = sum(max(0, int(n)) for _k, n in table) + clip_samples
     if total * itemsize > budget or total >= np.iinfo(np.int32).max:
         return None
+    from asf_tpu.data.device_store import quantized_total
+
+    total = quantized_total(
+        total, itemsize, budget,
+        int(getattr(cfg.TPU, "STORE_CAPACITY_QUANTUM_MB", 0)) << 20,
+    )
     import jax
 
     from asf_tpu.parallel.mesh import replicated

@@ -266,7 +266,10 @@ def main():
         from asf_tpu.data.device_store import DeviceSegmentStore
 
         store = DeviceSegmentStore.try_build(
-            loader.dataset, int(cfg.TPU.TRAIN_DEVICE_CACHE_MB) << 20, mesh
+            loader.dataset, int(cfg.TPU.TRAIN_DEVICE_CACHE_MB) << 20, mesh,
+            quantum_bytes=int(
+                getattr(cfg.TPU, "STORE_CAPACITY_QUANTUM_MB", 0)
+            ) << 20,
         )
         if store is not None:
             loader.attach_store(store)

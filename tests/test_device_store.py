@@ -457,6 +457,87 @@ def test_train_epoch_with_store_matches_streaming(tmp_path, fused):
         np.testing.assert_array_equal(va, vb, err_msg=str(ka))
 
 
+def test_capacity_quantization_regimes():
+    """quantized_total's two regimes + guards: next pow2 below the quantum,
+    next quantum multiple at/above it, exact on over-budget/disable, and
+    never smaller than the exact size."""
+    from asf_tpu.data.device_store import quantized_total
+
+    MB = 1 << 20
+    # 0 disables
+    assert quantized_total(1000, 2, 64 * MB, 0) == 1000
+    # below the quantum: bytes round to the next power of two
+    assert quantized_total(3 * MB, 2, 64 * MB, 16 * MB) * 2 == 8 * MB
+    # at/above the quantum: next quantum multiple
+    assert quantized_total(9 * MB, 2, 1024 * MB, 16 * MB) * 2 == 32 * MB
+    # exact quantum multiple stays put
+    assert quantized_total(8 * MB, 2, 1024 * MB, 16 * MB) * 2 == 16 * MB
+    # rounded size over budget -> exact size kept
+    assert quantized_total(9 * MB, 2, 20 * MB, 16 * MB) == 9 * MB
+    # pow2 of a tiny byte count can undershoot total*itemsize=odd cases:
+    # capacity never shrinks below the exact sample count
+    assert quantized_total(5, 4, 1 << 30, 16 * MB) >= 5
+
+
+def test_quantized_store_bit_identical(tmp_path):
+    """Bucketed capacity must not change a single gathered byte: same bases,
+    identical gathers, and an all-zero tail (pad reads stay pad)."""
+    from asf_tpu.data.device_store import DeviceSegmentStore
+
+    ds, _cfg = _dataset(tmp_path, int16=True)
+    exact = DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None)
+    quant = DeviceSegmentStore.try_build(
+        ds, 64 << 20, mesh=None, quantum_bytes=32 << 20
+    )
+    assert exact is not None and quant is not None
+    nq_bytes = quant.mega.shape[0] * np.dtype(quant.dtype).itemsize
+    assert nq_bytes & (nq_bytes - 1) == 0, "tiny store should hit a pow2 bucket"
+    assert quant.mega.shape[0] >= exact.mega.shape[0]
+
+    mq, me = np.asarray(quant.mega), np.asarray(exact.mega)
+    np.testing.assert_array_equal(mq[: me.shape[0]], me)
+    assert not mq[me.shape[0]:].any()
+
+    table = ds.device_store_table(budget_samples=(64 << 20) // 2)
+    keys = [k for k, _n in table]
+    assert [quant.base(k) for k in keys] == [exact.base(k) for k in keys]
+    starts = np.asarray([exact.base(k) for k in keys[:2]], np.int32)
+    n_valid = np.full((2,), exact.clip_samples, np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(quant.gather(starts, n_valid, macro=False)),
+        np.asarray(exact.gather(starts, n_valid, macro=False)),
+    )
+    # pad region of the BIGGER buffer still reads as zeros
+    pstarts = np.asarray([quant.pad_offset], np.int32)
+    pad = np.asarray(quant.gather(pstarts, np.ones((1,), np.int32), macro=False))
+    assert not pad.any()
+
+
+def test_store_lowering_spec_key_matches_try_build(tmp_path):
+    """The AOT warm-up's ShapeDtypeStruct must equal the aval of the store a
+    real train(cfg) attaches — with quantization on, byte-for-byte shape
+    equality is exactly the compile-key match the feature exists for."""
+    from asf_tpu.data.device_store import DeviceSegmentStore
+    from asf_tpu.engine.warmup import store_lowering_spec
+
+    from asf_tpu.parallel.mesh import make_mesh
+
+    ds, cfg = _dataset(tmp_path, int16=True)
+    cfg.TPU.TRAIN_DEVICE_CACHE_MB = 64
+    cfg.TPU.STORE_CAPACITY_QUANTUM_MB = 32
+    mesh = make_mesh(cfg)
+    spec = store_lowering_spec(cfg, mesh)
+    assert spec is not None
+    store = DeviceSegmentStore.try_build(
+        ds, 64 << 20, mesh=None, quantum_bytes=32 << 20
+    )
+    assert store is not None
+    assert tuple(spec.mega.shape) == tuple(store.mega.shape)
+    assert spec.mega.dtype == store.dtype
+    assert spec.pad_offset == store.pad_offset
+    assert spec.clip_samples == store.clip_samples
+
+
 if __name__ == "__main__":
     import sys
 
