@@ -479,6 +479,51 @@ def test_capacity_quantization_regimes():
     assert quantized_total(5, 4, 1 << 30, 16 * MB) >= 5
 
 
+def test_quantized_total_constant_within_bucket():
+    """Growing a dataset anywhere inside one bucket must not move the
+    capacity — this constancy IS the compile-key stability the feature
+    exists for (the fused program bakes the mega shape into its key)."""
+    from asf_tpu.data.device_store import quantized_total
+
+    MB = 1 << 20
+    q = 16 * MB
+    caps = {
+        quantized_total(t, 2, 1 << 40, q)
+        for t in range(9 * MB, 16 * MB + 1, MB)  # 18..32 MB exact bytes
+    }
+    assert caps == {16 * MB}  # every size lands on the 32 MB cap
+
+
+def test_same_bucket_datasets_share_mega_aval(tmp_path):
+    """Two datasets whose exact sizes differ but land in the same capacity
+    bucket must produce megas with IDENTICAL shape+dtype+pad_offset — the
+    jit compile key of every program that takes the mega as an operand.
+    Exact sizing (quantum 0) must differ, proving the bucket did the work."""
+    from asf_tpu.data.device_store import DeviceSegmentStore
+    from asf_tpu.data.epickitchens import EpicKitchens
+
+    built = {}
+    for name, secs in (("a", 8.0), ("b", 8.5)):
+        root = str(tmp_path / name)
+        make_epic_fixture(root, video_secs=secs)
+        cfg = tiny_cfg(root)
+        cfg.TPU.HOST_WAVEFORM_CACHE_MB = 0
+        ds = EpicKitchens(cfg, "train")
+        built[name] = (
+            DeviceSegmentStore.try_build(ds, 64 << 20, mesh=None),
+            DeviceSegmentStore.try_build(
+                ds, 64 << 20, mesh=None, quantum_bytes=32 << 20
+            ),
+        )
+    (ea, qa), (eb, qb) = built["a"], built["b"]
+    assert None not in (ea, qa, eb, qb)
+    assert ea.mega.shape != eb.mega.shape, "fixture sizes should differ"
+    assert qa.mega.shape == qb.mega.shape
+    assert qa.dtype == qb.dtype
+    assert qa.pad_offset == qb.pad_offset
+    assert qa.clip_samples == qb.clip_samples
+
+
 def test_quantized_store_bit_identical(tmp_path):
     """Bucketed capacity must not change a single gathered byte: same bases,
     identical gathers, and an all-zero tail (pad reads stay pad)."""
