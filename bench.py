@@ -321,6 +321,15 @@ def _probe_device(retry_budget_s: float = 34 * 60.0, per_probe_s: float = 150.0)
         time.sleep(min(30.0, max(0.0, remaining)))
 
 
+def _fail_code(fail: str) -> str:
+    """Map a _probe_device failure string to the machine-readable error code
+    the driver records (BENCH_r*.json). An exhausted retry window ("never
+    answered") IS a relay outage — r4's single-shot check matched a stale
+    message and mislabeled it ``probe_error``, which reads as a bench bug
+    rather than the documented relay flakiness."""
+    return "relay_down" if "never answered" in fail else "probe_error"
+
+
 def main():
     # Watchdog: if the TPU relay dies mid-run, compiles hang indefinitely —
     # fail loudly (and machine-readably) instead so the caller records an
@@ -342,7 +351,7 @@ def main():
 
     fail = _probe_device()
     if fail is not None:
-        _emit_error("relay_down" if "did not answer" in fail else "probe_error", fail)
+        _emit_error(_fail_code(fail), fail)
         os._exit(17)
 
     cfg = _flagship_cfg()

@@ -57,6 +57,13 @@ def test_budget_exhaustion_reports_attempts(bench, monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", fake_sleep)
     res = bench._probe_device(retry_budget_s=120.0, per_probe_s=1.0)
     assert res is not None and "never answered" in res
+    # the exhausted window must be RECORDED as a relay outage, not a bench bug
+    assert bench._fail_code(res) == "relay_down"
+
+
+def test_fail_code_classification(bench):
+    assert bench._fail_code("device probe never answered: 13 attempts over 34 min") == "relay_down"
+    assert bench._fail_code("device probe exited rc=1: ImportError") == "probe_error"
 
 
 def test_probe_once_success_and_failure(bench, monkeypatch):
